@@ -1,0 +1,61 @@
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_contour_regression_tpu.ops.nms import batched_nms, non_max_suppression
+
+
+def test_batched_nms_suppresses_overlaps():
+    boxes = jnp.array(
+        [
+            [0.0, 0, 10, 10],
+            [1.0, 1, 11, 11],  # high overlap with box 0, lower score -> suppressed
+            [50.0, 50, 60, 60],  # far away -> kept
+        ]
+    )
+    scores = jnp.array([0.9, 0.8, 0.7])
+    classes = jnp.zeros(3, jnp.int32)
+    extras = jnp.zeros((3, 2))
+    out = batched_nms(boxes, scores, classes, extras, conf_thres=0.25, iou_thres=0.5, pre_nms=3, max_det=3)
+    assert out["valid"].tolist() == [True, True, False]
+    np.testing.assert_allclose(out["scores"][:2], [0.9, 0.7], atol=1e-6)
+    np.testing.assert_allclose(out["boxes"][1], [50, 50, 60, 60])
+
+
+def test_nms_class_aware():
+    # same location, different classes: both survive (class-offset trick)
+    boxes = jnp.array([[0.0, 0, 10, 10], [0.0, 0, 10, 10]])
+    scores = jnp.array([0.9, 0.8])
+    classes = jnp.array([0, 1], jnp.int32)
+    extras = jnp.zeros((2, 1))
+    out = batched_nms(boxes, scores, classes, extras, conf_thres=0.25, iou_thres=0.5, pre_nms=2, max_det=2)
+    assert out["valid"].tolist() == [True, True]
+    # agnostic: one suppressed
+    out2 = batched_nms(boxes, scores, classes, extras, conf_thres=0.25, iou_thres=0.5, pre_nms=2, max_det=2, agnostic=True)
+    assert out2["valid"].tolist() == [True, False]
+
+
+def test_nms_conf_gate():
+    boxes = jnp.array([[0.0, 0, 10, 10], [30.0, 30, 40, 40]])
+    scores = jnp.array([0.9, 0.1])
+    classes = jnp.zeros(2, jnp.int32)
+    extras = jnp.zeros((2, 1))
+    out = batched_nms(boxes, scores, classes, extras, conf_thres=0.25, iou_thres=0.5, pre_nms=2, max_det=2)
+    assert out["valid"].tolist() == [True, False]
+
+
+def test_non_max_suppression_head_layout():
+    # (B, 4+nc+E, A) layout with nc=2, E=3, A=4
+    A, nc, E = 4, 2, 3
+    pred = np.zeros((1, 4 + nc + E, A), np.float32)
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [40, 40, 50, 50], [0, 0, 1, 1]], np.float32)
+    pred[0, :4] = boxes.T
+    pred[0, 4] = [0.9, 0.85, 0.0, 0.0]  # class 0 scores
+    pred[0, 5] = [0.0, 0.0, 0.7, 0.1]  # class 1 scores
+    pred[0, 6:] = np.arange(3 * A, dtype=np.float32).reshape(3, A)
+    out = non_max_suppression(jnp.asarray(pred), nc=nc, conf_thres=0.25, iou_thres=0.5, pre_nms=4, max_det=4)
+    valid = np.asarray(out["valid"][0])
+    assert valid.tolist() == [True, True, False, False]
+    np.testing.assert_allclose(out["scores"][0][:2], [0.9, 0.7], atol=1e-6)
+    assert out["classes"][0][:2].tolist() == [0, 1]
+    # extras carried through for the kept top box (anchor 0)
+    np.testing.assert_allclose(out["extras"][0][0], [0, 4, 8])

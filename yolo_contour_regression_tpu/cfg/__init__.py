@@ -1,0 +1,164 @@
+"""Config system: layered defaults -> overrides -> CLI k=v args.
+
+Re-implements the reference's cfg layer (``ultralytics/cfg/__init__.py``):
+``get_cfg`` (cfg/__init__.py:97) merge + type-check, ``entrypoint``
+(cfg/__init__.py:295) CLI parsing with TASKS x MODES validation, and
+deprecation shims — torch-free.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Any, Dict, Optional, Union
+
+import yaml
+
+CFG_DIR = Path(__file__).parent
+MODELS_DIR = CFG_DIR / "models"
+DATASETS_DIR = CFG_DIR / "datasets"
+DEFAULT_CFG_PATH = CFG_DIR / "default.yaml"
+
+TASKS = ("detect", "segment", "classify", "pose")
+MODES = ("train", "val", "predict", "export", "track", "benchmark")
+
+TASK2MODEL = {
+    "detect": "yolov8n.yaml",
+    "segment": "yolov8n-seg.yaml",
+    "classify": "yolov8n-cls.yaml",
+    "pose": "yolov8n-pose.yaml",
+}
+TASK2DATA = {
+    "detect": "coco8.yaml",
+    "segment": "coco8-seg.yaml",
+    "classify": "imagenet10",
+    "pose": "coco8-pose.yaml",
+}
+
+# keys that must be float in (0,1) / int / bool — mirrored from the reference's
+# CFG_FLOAT_KEYS / CFG_FRACTION_KEYS / CFG_INT_KEYS / CFG_BOOL_KEYS checks
+CFG_FRACTION_KEYS = {
+    "dropout", "iou", "lr0", "lrf", "momentum", "weight_decay", "warmup_momentum",
+    "warmup_bias_lr", "label_smoothing", "hsv_h", "hsv_s", "hsv_v", "translate",
+    "scale", "perspective", "flipud", "fliplr", "mosaic", "mixup", "copy_paste",
+    "conf", "fraction",
+}
+CFG_INT_KEYS = {
+    "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio",
+    "max_det", "vid_stride", "workspace", "nbs", "save_period", "max_instances",
+    "cand_per_gt", "pre_nms",
+}
+CFG_BOOL_KEYS = {
+    "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect",
+    "cos_lr", "resume", "amp", "profile", "overlap_mask", "val", "save_json",
+    "save_hybrid", "half", "dnn", "plots", "show", "save_txt", "save_conf",
+    "save_crop", "show_labels", "show_conf", "visualize", "augment",
+    "agnostic_nms", "retina_masks", "boxes", "keras", "optimize", "int8",
+    "dynamic", "simplify", "nms", "pretrained", "donate",
+}
+
+_DEPRECATED = {"boxes": "boxes", "hide_labels": "show_labels", "hide_conf": "show_conf"}
+
+
+def yaml_load(path) -> Dict[str, Any]:
+    with open(path) as fh:
+        return yaml.safe_load(fh) or {}
+
+
+def yaml_save(path, data: Dict[str, Any]):
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as fh:
+        yaml.safe_dump({k: (str(v) if isinstance(v, Path) else v) for k, v in data.items()}, fh, sort_keys=False)
+
+
+DEFAULT_CFG_DICT = yaml_load(DEFAULT_CFG_PATH)
+DEFAULT_CFG = SimpleNamespace(**DEFAULT_CFG_DICT)
+
+
+def _coerce(k: str, v: Any) -> Any:
+    if v is None or isinstance(v, (dict, list)):
+        return v
+    if k in CFG_BOOL_KEYS and isinstance(v, str):
+        return v.lower() in ("1", "true", "yes")
+    if k in CFG_INT_KEYS and isinstance(v, (str, float)):
+        return int(float(v))
+    if k in CFG_FRACTION_KEYS and isinstance(v, str):
+        return float(v)
+    return v
+
+
+def check_cfg(cfg: Dict[str, Any]):
+    for k in CFG_FRACTION_KEYS:
+        v = cfg.get(k)
+        if isinstance(v, (int, float)) and not (0.0 <= float(v) <= 1.0) and k not in ("lr0", "weight_decay"):
+            if k in ("conf", "iou", "fraction", "mosaic", "mixup", "dropout"):
+                raise ValueError(f"'{k}={v}' must be in [0, 1]")
+    return cfg
+
+
+def get_cfg(
+    cfg: Union[str, Path, Dict, SimpleNamespace] = DEFAULT_CFG_DICT,
+    overrides: Optional[Dict] = None,
+) -> SimpleNamespace:
+    """Merge config sources (reference cfg/__init__.py:97 get_cfg)."""
+    if isinstance(cfg, (str, Path)):
+        cfg = yaml_load(cfg)
+    elif isinstance(cfg, SimpleNamespace):
+        cfg = vars(cfg)
+    cfg = {**DEFAULT_CFG_DICT, **cfg}
+    if overrides:
+        overrides = {_DEPRECATED.get(k, k): v for k, v in overrides.items()}
+        cfg = {**cfg, **overrides}
+    cfg = {k: _coerce(k, v) for k, v in cfg.items()}
+    check_cfg(cfg)
+    return SimpleNamespace(**cfg)
+
+
+def parse_key_value_args(args) -> Dict[str, Any]:
+    """['k=v', ...] -> dict with yaml-typed values (reference merge_equals_args)."""
+    out = {}
+    for a in args:
+        if "=" not in a:
+            continue
+        k, v = a.split("=", 1)
+        try:
+            v = yaml.safe_load(v)
+        except yaml.YAMLError:
+            pass
+        out[k.strip()] = v
+    return out
+
+
+def entrypoint(argv=None):
+    """CLI: ``yolo TASK MODE k=v ...`` (reference cfg/__init__.py:295)."""
+    import sys
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print(
+            "usage: yolo TASK MODE [k=v ...]\n"
+            f"  TASK in {TASKS}\n  MODE in {MODES}\n"
+            "example: yolo segment train model=yolov8n-seg.yaml data=coco8-seg.yaml epochs=1"
+        )
+        return 0
+    task = mode = None
+    kv = []
+    for a in argv:
+        if a in TASKS:
+            task = a
+        elif a in MODES:
+            mode = a
+        else:
+            kv.append(a)
+    overrides = parse_key_value_args(kv)
+    task = task or overrides.pop("task", None) or "detect"
+    mode = mode or overrides.pop("mode", None) or "predict"
+    if mode not in MODES:
+        raise ValueError(f"mode '{mode}' not in {MODES}")
+
+    from ..engine.model import YOLO
+
+    model_path = overrides.pop("model", None) or TASK2MODEL[task]
+    model = YOLO(model_path, task=task)
+    result = getattr(model, mode)(**overrides)
+    return result

@@ -1,0 +1,322 @@
+"""Convolution primitives — flax.linen, NHWC, bf16-friendly.
+
+TPU-native re-implementation of the reference conv zoo
+(``ultralytics/nn/modules/conv.py``): Conv (conv+BN+act, default act **ReLU**
+per the fork's change at conv.py:28), Conv2 (parallel 1x1 branch, conv.py:47),
+DWConv, ConvTranspose, Focus, GhostConv, RepConv (RepVGG-style 3x3+1x1+id,
+conv.py:153-230), channel/spatial attention, Concat.
+
+Design notes (not a port):
+  - NHWC layout end-to-end — XLA's TPU conv emitter wants feature-minor.
+  - BatchNorm is folded at inference via `fuse` param trees (see
+    ``fuse.py``) instead of module surgery.
+  - "autopad" semantics (same-shape for odd kernels, stride divides) are
+    reproduced with explicit symmetric padding so shapes match the reference
+    graph exactly at every level.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# The fork switched the default activation from SiLU to ReLU (conv.py:28,158).
+DEFAULT_ACT = "relu"
+
+ACTS: dict = {
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "swish": nn.silu,
+    "gelu": nn.gelu,
+    "identity": lambda x: x,
+    "sigmoid": nn.sigmoid,
+    "leaky_relu": lambda x: nn.leaky_relu(x, 0.01),
+}
+
+
+def get_act(act) -> Callable:
+    if callable(act):
+        return act
+    if act is True or act is None:
+        return ACTS[DEFAULT_ACT]
+    if act is False:
+        return ACTS["identity"]
+    return ACTS[act]
+
+
+def autopad(k: int, p=None, d: int = 1):
+    """Same-shape padding for odd kernels (reference conv.py:14 autopad)."""
+    k = d * (k - 1) + 1 if d > 1 else k
+    return (k - 1) // 2 if p is None else p
+
+
+class Conv(nn.Module):
+    """conv2d + BN + act."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Any = None
+    g: int = 1
+    d: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(p, p), (p, p)],
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return get_act(self.act)(x)
+
+
+class Conv2(nn.Module):
+    """Conv with a parallel 1x1 branch added pre-activation (conv.py:47-72).
+
+    At deploy the 1x1 kernel folds into the center of the kxk kernel
+    (`fuse.py:fuse_conv2`)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: Any = None
+    g: int = 1
+    d: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = autopad(self.k, self.p, self.d)
+        y = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(p, p), (p, p)],
+            feature_group_count=self.g,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        y = y + nn.Conv(
+            self.c2,
+            (1, 1),
+            strides=(self.s, self.s),
+            padding="VALID",
+            feature_group_count=self.g,
+            use_bias=False,
+            dtype=self.dtype,
+            name="cv2",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            name="bn",
+        )(y)
+        return get_act(self.act)(y)
+
+
+class DWConv(Conv):
+    """Depthwise conv: groups = gcd(c1, c2); we set g at construction time."""
+
+
+class LightConv(nn.Module):
+    """1x1 Conv + depthwise Conv (reference conv.py:75)."""
+
+    c2: int
+    k: int = 3
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return Conv(
+            self.c2, self.k, g=self.c2, act=self.act, dtype=self.dtype, name="conv2"
+        )(x, train)
+
+
+class ConvTranspose(nn.Module):
+    """Transposed conv + optional BN + act (reference conv.py:116)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    bn: bool = True
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(self.p, self.p), (self.p, self.p)],
+            use_bias=not self.bn,
+            dtype=self.dtype,
+            name="conv_transpose",
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        return get_act(self.act)(x)
+
+
+class Focus(nn.Module):
+    """Space-to-depth 2x then Conv (reference conv.py:199 Focus)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Any = None
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        )
+        return Conv(self.c2, self.k, self.s, self.p, act=self.act, dtype=self.dtype, name="conv")(
+            x, train
+        )
+
+
+class GhostConv(nn.Module):
+    """Primary conv + cheap depthwise expansion (reference conv.py:218)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype, name="cv1")(
+            x, train
+        )
+        y2 = Conv(c_, 5, 1, None, c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class RepConv(nn.Module):
+    """RepVGG-style training block: 3x3 + 1x1 (+ identity BN when c1==c2, s=1).
+
+    Reference conv.py:153-230; default act ReLU (conv.py:158). Deploy-time
+    structural reparameterization into a single 3x3 is weight algebra on the
+    param tree (`fuse.py:fuse_repconv`), keeping this module purely functional.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    d: int = 1
+    act: Any = True
+    use_id_bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.k == 3
+        c1 = x.shape[-1]
+        bn_kw = dict(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype
+        )
+        y1 = nn.Conv(
+            self.c2, (3, 3), strides=(self.s, self.s), padding=[(1, 1), (1, 1)],
+            feature_group_count=self.g, use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        y1 = nn.BatchNorm(name="bn1", **bn_kw)(y1)
+        y2 = nn.Conv(
+            self.c2, (1, 1), strides=(self.s, self.s), padding="VALID",
+            feature_group_count=self.g, use_bias=False, dtype=self.dtype, name="conv2",
+        )(x)
+        y2 = nn.BatchNorm(name="bn2", **bn_kw)(y2)
+        y = y1 + y2
+        if self.use_id_bn and c1 == self.c2 and self.s == 1:
+            y = y + nn.BatchNorm(name="bn_id", **bn_kw)(x)
+        return get_act(self.act)(y)
+
+
+class ChannelAttention(nn.Module):
+    """Squeeze-excite style channel attention (reference conv.py:233)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        pooled = x.mean(axis=(1, 2), keepdims=True)
+        w = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype, name="fc")(pooled)
+        return x * nn.sigmoid(w)
+
+
+class SpatialAttention(nn.Module):
+    """Spatial attention over channel mean/max maps (reference conv.py:248)."""
+
+    k: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pooled = jnp.concatenate(
+            [x.mean(-1, keepdims=True), x.max(-1, keepdims=True)], axis=-1
+        )
+        p = self.k // 2
+        w = nn.Conv(
+            1, (self.k, self.k), padding=[(p, p), (p, p)], use_bias=False,
+            dtype=self.dtype, name="cv1",
+        )(pooled)
+        return x * nn.sigmoid(w)
+
+
+class CBAM(nn.Module):
+    """Channel + spatial attention (reference conv.py:261)."""
+
+    k: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ChannelAttention(dtype=self.dtype, name="channel_attention")(x, train)
+        return SpatialAttention(self.k, dtype=self.dtype, name="spatial_attention")(x, train)
+
+
+class Concat(nn.Module):
+    """Concatenate a list of tensors along channels (reference conv.py:273)."""
+
+    axis: int = -1
+
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        return jnp.concatenate(list(xs), axis=self.axis)

@@ -1,0 +1,243 @@
+"""Prediction heads — flax.linen, NHWC.
+
+TPU-native re-implementation of the reference head zoo
+(``ultralytics/nn/modules/head.py``):
+
+  - ``PolarSegment``: the canonical "polarpaper" polar-contour head — cv2
+    branch -> 36 raw ray distances, cv3 branch -> nc class logits per FPN
+    level (head.py:364-433 polarpaperDetect + head.py:436-574 Segment). The
+    eval-time ray decode lives in ``ops/polar.py:decode_rays`` / in
+    ``decode_polar`` below, *in-graph*, so the exported model contains decode
+    (unlike the reference, which drops it at export — head.py:572).
+  - ``Detect``: stock YOLOv8 DFL detect head (head.py:25 oriDetect shape).
+  - ``SegmentProto``: stock prototype-mask seg head (head.py:731 Segmentori).
+  - ``Classify``: conv+pool+linear, fork change: always sigmoid
+    (head.py:805-822).
+  - ``Pose``: keypoint head (head.py:764-802).
+
+Heads return raw per-level NHWC maps; decode helpers are pure functions of
+(raw maps, strides) so train/eval/export all share one compiled graph shape.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import polar as polar_ops
+from ...ops.boxes import dist2bbox
+from .block import DFL, Proto
+from .conv import Conv
+
+
+class PolarSegment(nn.Module):
+    """Polar contour-regression segment head (canonical 'polarpaper' config).
+
+    Per level i: cv2[i] = Conv3x3 -> Conv3x3 -> 1x1(36 rays),
+                 cv3[i] = Conv3x3 -> Conv3x3 -> 1x1(nc logits).
+    Output per level: (B, H, W, nm + nc) with rays first (reference forward
+    concatenates cv2 then cv3, head.py:390).
+    """
+
+    nc: int = 80
+    nm: int = polar_ops.NUM_RAYS
+    npr: int = 256  # kept for yaml-arg parity; unused (no prototypes in polar)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        ch0 = feats[0].shape[-1]
+        c2 = max(16, ch0 // 4, 16 * 4)
+        c3 = max(ch0, min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            rays = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            rays = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(rays, train)
+            rays = nn.Conv(
+                self.nm, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv2_{i}_2"
+            )(rays)
+            cls = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            cls = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(cls, train)
+            cls = nn.Conv(
+                self.nc, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv3_{i}_2"
+            )(cls)
+            outs.append(jnp.concatenate([rays, cls], axis=-1))
+        return outs
+
+
+def flatten_levels(outs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """[(B, H, W, C)...] -> (B, A, C), matching the reference's row-major
+    per-level flatten + concat (head.py:398 x_cat)."""
+    b = outs[0].shape[0]
+    c = outs[0].shape[-1]
+    return jnp.concatenate([o.reshape(b, -1, c) for o in outs], axis=1)
+
+
+def decode_polar(
+    outs: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    nm: int = polar_ops.NUM_RAYS,
+):
+    """Eval-time polar decode — reference Segment.forward eval path +
+    distance2mask (head.py:461-550), producing (B, 4 + nc + 3*nm, A):
+    [xyxy box | nc sigmoid scores | 36 seg-x | 36 seg-y | 36 valid flags].
+    """
+    feat_hw = [(o.shape[1], o.shape[2]) for o in outs]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=outs[0].dtype)
+    x = flatten_levels(outs)  # (B, A, nm+nc)
+    rays, cls = x[..., :nm], x[..., nm:]
+    rays_px = rays * stride_t[None, :, :]  # broadcast (A,1)
+    anchors_px = anchor_points * stride_t
+    points, valid, boxes = polar_ops.decode_rays(rays_px, anchors_px)
+    scores = nn.sigmoid(cls)
+    allpred = jnp.concatenate(
+        [
+            boxes,
+            scores,
+            points[..., 0],
+            points[..., 1],
+            valid.astype(x.dtype),
+        ],
+        axis=-1,
+    )  # (B, A, 4+nc+108)
+    return jnp.transpose(allpred, (0, 2, 1))  # (B, 4+nc+108, A) — reference layout
+
+
+class Detect(nn.Module):
+    """Stock YOLOv8 detect head with DFL box regression (head.py:25)."""
+
+    nc: int = 80
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        ch0 = feats[0].shape[-1]
+        c2 = max(16, ch0 // 4, self.reg_max * 4)
+        c3 = max(ch0, min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            box = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            box = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(box, train)
+            box = nn.Conv(
+                4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv2_{i}_2"
+            )(box)
+            cls = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            cls = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(cls, train)
+            cls = nn.Conv(
+                self.nc, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv3_{i}_2"
+            )(cls)
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+
+def decode_detect(outs, strides, nc: int, reg_max: int = 16):
+    """Eval-time DFL decode: softmax-expectation over bins -> ltrb -> xywh
+    boxes in pixels + sigmoid scores. (B, 4+nc, A), reference head.py:56-72."""
+    feat_hw = [(o.shape[1], o.shape[2]) for o in outs]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=outs[0].dtype)
+    x = flatten_levels(outs)  # (B, A, 4*reg_max+nc)
+    box_dist, cls = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    b, a, _ = box_dist.shape
+    probs = nn.softmax(box_dist.reshape(b, a, 4, reg_max), axis=-1)
+    proj = jnp.arange(reg_max, dtype=probs.dtype)
+    ltrb = jnp.einsum("bakr,r->bak", probs, proj)
+    dbox = dist2bbox(ltrb, anchor_points[None], xywh=True, axis=-1) * stride_t[None]
+    y = jnp.concatenate([dbox, nn.sigmoid(cls)], axis=-1)
+    return jnp.transpose(y, (0, 2, 1))
+
+
+class SegmentProto(nn.Module):
+    """Stock prototype-mask segmentation head (head.py:731 Segmentori):
+    Detect + per-level mask-coefficient branch + Proto net on P3."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        det_outs = Detect(self.nc, self.reg_max, dtype=self.dtype, name="detect")(
+            feats, train
+        )
+        proto = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(feats[0], train)
+        c4 = max(feats[0].shape[-1] // 4, self.nm)
+        mc = []
+        for i, x in enumerate(feats):
+            m = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            m = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
+            m = nn.Conv(self.nm, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(m)
+            mc.append(m)
+        return [jnp.concatenate([d, m], axis=-1) for d, m in zip(det_outs, mc)], proto
+
+
+class Pose(nn.Module):
+    """Keypoint head (head.py:764): Detect + per-level kpt branch."""
+
+    nc: int = 1
+    kpt_shape: Tuple[int, int] = (17, 3)
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        det_outs = Detect(self.nc, self.reg_max, dtype=self.dtype, name="detect")(
+            feats, train
+        )
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(feats[0].shape[-1] // 4, nk)
+        kpts = []
+        for i, x in enumerate(feats):
+            k = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            k = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(k, train)
+            k = nn.Conv(nk, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(k)
+            kpts.append(k)
+        return [jnp.concatenate([d, k], axis=-1) for d, k in zip(det_outs, kpts)]
+
+
+def decode_pose(kpt_raw, strides, feat_hw, kpt_shape=(17, 3)):
+    """Decode raw keypoint maps (B, A, nk) -> pixel keypoints (head.py:789
+    kpts_decode): xy = (raw*2 + anchor - 0.5) * stride, vis = sigmoid."""
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=kpt_raw.dtype)
+    b, a, nk = kpt_raw.shape
+    k = kpt_raw.reshape(b, a, kpt_shape[0], kpt_shape[1])
+    xy = (k[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
+    if kpt_shape[1] == 3:
+        vis = nn.sigmoid(k[..., 2:3])
+        return jnp.concatenate([xy, vis], axis=-1)
+    return xy
+
+
+class Classify(nn.Module):
+    """Classification head (head.py:805): Conv -> GAP -> dropout -> linear;
+    fork change: output always sigmoid (head.py:820)."""
+
+    nc: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = 1280
+        x = Conv(c_, 1, 1, dtype=self.dtype, name="conv")(x, train)
+        x = x.mean(axis=(1, 2))  # global average pool
+        x = nn.Dropout(0.0, deterministic=not train)(x)
+        x = nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
+        return nn.sigmoid(x)
+
+
+def init_head_biases(params: dict, head_name: str, strides: Sequence[int], nc: int, polar: bool):
+    """Post-init bias priors (reference head.py:427 bias_init): ray/box branch
+    final bias = 1.0, cls branch final bias = log(5 / nc / (640/stride)^2).
+    Operates on the already-initialized param pytree (functional surgery)."""
+    head = params[head_name]
+    for i, s in enumerate(strides):
+        cv2 = head[f"cv2_{i}_2"] if f"cv2_{i}_2" in head else head["detect"][f"cv2_{i}_2"]
+        cv2["bias"] = jnp.ones_like(cv2["bias"]) if polar else cv2["bias"]
+        cv3 = head[f"cv3_{i}_2"] if f"cv3_{i}_2" in head else head["detect"][f"cv3_{i}_2"]
+        cv3["bias"] = jnp.full_like(cv3["bias"], math.log(5 / nc / (640 / s) ** 2))
+    return params

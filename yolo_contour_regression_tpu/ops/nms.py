@@ -1,0 +1,133 @@
+"""On-device, fixed-shape, batched NMS.
+
+TPU-native replacement for the reference's per-image Python-loop NMS
+(``ultralytics/utils/ops.py:285-426 non_max_suppression``): instead of dynamic
+candidate counts + torchvision.ops.nms, we run a static pipeline entirely under
+jit:
+
+  1. per-anchor best class (max / argmax over nc)
+  2. confidence gate -> scores below `conf_thres` get -1 so they sort last
+  3. top-`pre_nms` candidate pre-selection (static K)
+  4. class-offset boxes (multi-class NMS via the max-wh coordinate trick,
+     same as the reference ops.py:385 `c = x[:, 5:6] * max_wh`)
+  5. greedy suppression over the (K, K) IoU matrix with a fori_loop scan
+  6. top-`max_det` surviving detections returned, padded, with a valid mask
+
+Semantics match the reference: IoU threshold default 0.7, conf 0.25 predict /
+0.001 val, max_det 300, agnostic optional. Extra columns (the 108 polar contour
+values) are carried through untouched, like the reference's mask slot.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_iou
+
+MAX_WH = 7680.0  # class-offset magnitude (reference ops.py:336 max_wh)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pre_nms", "max_det", "agnostic"),
+)
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    extras: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.7,
+    pre_nms: int = 1024,
+    max_det: int = 300,
+    agnostic: bool = False,
+):
+    """Single-image fixed-shape NMS. vmap over batch via `non_max_suppression`.
+
+    boxes (A, 4) xyxy, scores (A,), classes (A,) int, extras (A, E).
+    Returns dict of padded outputs of length max_det + `valid` mask.
+    """
+    A = boxes.shape[0]
+    k = min(pre_nms, A)
+    gated = jnp.where(scores > conf_thres, scores, -1.0)
+    top_scores, order = jax.lax.top_k(gated, k)  # (k,) descending
+    cand_boxes = boxes[order]
+    cand_cls = classes[order]
+    cand_alive = top_scores > 0
+
+    offset = jnp.where(
+        cand_alive, cand_cls.astype(boxes.dtype), -1.0
+    ) * (0.0 if agnostic else MAX_WH)
+    shifted = cand_boxes + offset[:, None]
+    iou = box_iou(shifted, shifted)  # (k, k)
+
+    # Greedy scan in score order: box i survives iff no higher-ranked survivor
+    # overlaps it above iou_thres. Sequential by definition; k is static so this
+    # compiles to a tight fori_loop over vector ops.
+    def body(i, keep):
+        sup = (iou[i] > iou_thres) & keep[i]
+        sup = sup.at[i].set(False)
+        return keep & ~sup
+
+    keep = jax.lax.fori_loop(0, k, body, cand_alive)
+
+    final_scores = jnp.where(keep, top_scores, -1.0)
+    out_scores, sel = jax.lax.top_k(final_scores, min(max_det, k))
+    valid = out_scores > 0
+    pick = order[sel]
+    out = {
+        "boxes": jnp.where(valid[:, None], boxes[pick], 0),
+        "scores": jnp.where(valid, out_scores, 0),
+        "classes": jnp.where(valid, classes[pick], -1),
+        "extras": jnp.where(valid[:, None], extras[pick], 0),
+        "valid": valid,
+    }
+    if max_det > k:  # pad up (rare: tiny inputs)
+        pad = max_det - k
+        out = {
+            n: jnp.pad(v, ((0, pad),) + ((0, 0),) * (v.ndim - 1)) for n, v in out.items()
+        }
+        out["classes"] = out["classes"].at[k:].set(-1)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nc", "pre_nms", "max_det", "agnostic"),
+)
+def non_max_suppression(
+    prediction: jnp.ndarray,
+    nc: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.7,
+    pre_nms: int = 1024,
+    max_det: int = 300,
+    agnostic: bool = False,
+):
+    """Batched NMS over raw head output.
+
+    prediction: (B, 4 + nc + E, A) — the polar eval head layout
+    (head.py:494 allpred: xyxy box, nc sigmoid scores, E=108 contour extras).
+    Note the polar head already emits xyxy (the reference removed xywh2xyxy at
+    ops.py:363); we keep that contract.
+
+    Returns dict of (B, max_det, ...) arrays + valid mask (B, max_det).
+    """
+    pred = jnp.transpose(prediction, (0, 2, 1))  # (B, A, C)
+    boxes = pred[..., :4]
+    cls_scores = pred[..., 4 : 4 + nc]
+    extras = pred[..., 4 + nc :]
+    scores = cls_scores.max(-1)
+    classes = cls_scores.argmax(-1)
+
+    fn = partial(
+        batched_nms,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        pre_nms=pre_nms,
+        max_det=max_det,
+        agnostic=agnostic,
+    )
+    return jax.vmap(fn)(boxes, scores, classes, extras)
