@@ -1,0 +1,203 @@
+"""Assigner + loss behavior tests on tiny synthetic scenes."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from types import SimpleNamespace
+
+from yolo_contour_regression_tpu.ops import polar as P
+from yolo_contour_regression_tpu.utils import loss as L
+from yolo_contour_regression_tpu.utils.tal import (
+    polar_task_aligned_assign,
+    select_candidates_in_gts,
+    task_aligned_assign,
+)
+
+HYP = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0)
+
+
+def circle(cx, cy, r, n=360):
+    t = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    return np.stack([cx + r * np.cos(t), cy + r * np.sin(t)], -1).astype(np.float32)
+
+
+def scene(imgsz=32, nc=3):
+    """One circular instance centered at (16, 16), radius 8, class 1."""
+    B, N = 2, 3
+    gt_labels = np.zeros((B, N), np.int32)
+    gt_bboxes = np.zeros((B, N, 4), np.float32)
+    gt_contours = np.zeros((B, N, 360, 2), np.float32)
+    mask_gt = np.zeros((B, N), bool)
+    gt_labels[0, 0] = 1
+    gt_bboxes[0, 0] = [8, 8, 24, 24]
+    gt_contours[0, 0] = circle(16, 16, 8)
+    mask_gt[0, 0] = True
+    return gt_labels, gt_bboxes, gt_contours, mask_gt
+
+
+def anchors(imgsz=32, strides=(8, 16, 32)):
+    hw = [(imgsz // s, imgsz // s) for s in strides]
+    return P.make_anchors(hw, strides)
+
+
+def test_select_candidates_in_gts():
+    pts, st = anchors()
+    gt = jnp.asarray([[[8.0, 8, 24, 24]]])
+    inside = select_candidates_in_gts(pts * st, gt)[0, 0]
+    pts_px = np.asarray(pts * st)
+    want = (
+        (pts_px[:, 0] > 8) & (pts_px[:, 0] < 24) & (pts_px[:, 1] > 8) & (pts_px[:, 1] < 24)
+    )
+    np.testing.assert_array_equal(np.asarray(inside), want)
+
+
+def test_polar_assign_picks_inbox_anchors_and_rays():
+    gt_labels, gt_bboxes, gt_contours, mask_gt = scene()
+    pts, st = anchors()
+    A = pts.shape[0]
+    B, nc = 2, 3
+    rng = np.random.default_rng(0)
+    pd_scores = jnp.asarray(rng.uniform(0.1, 0.9, (B, A, nc)).astype(np.float32))
+    # predict near-perfect rays of 8px everywhere
+    pd_rays = jnp.full((B, A, 36), 8.0)
+    out = polar_task_aligned_assign(
+        pd_scores, pd_rays, pts * st,
+        jnp.asarray(gt_labels), jnp.asarray(gt_bboxes), jnp.asarray(gt_contours),
+        jnp.asarray(mask_gt), cand=16,
+    )
+    fg = np.asarray(out.fg_mask)
+    assert fg[0].sum() > 0
+    assert fg[1].sum() == 0  # image 1 has no GT
+    # all fg anchors lie inside the gt box
+    pts_px = np.asarray(pts * st)
+    for a in np.where(fg[0])[0]:
+        assert 8 < pts_px[a, 0] < 24 and 8 < pts_px[a, 1] < 24
+        # target rays match the reference angle-binning formula at that anchor
+        want = P.gt_rays_from_contour(
+            jnp.asarray(gt_contours[0, 0])[None], jnp.asarray(pts_px[a])[None]
+        )[0]
+        np.testing.assert_allclose(np.asarray(out.target_rays[0, a]), np.asarray(want), rtol=1e-4)
+    # labels assigned
+    assert (np.asarray(out.target_labels)[0][fg[0]] == 1).all()
+    # target scores only on fg, class 1
+    ts = np.asarray(out.target_scores[0])
+    assert (ts[~fg[0]] == 0).all()
+    assert ts[fg[0], 1].max() > 0
+    assert (ts[:, [0, 2]] == 0).all()
+    # centerness in (0, 1]
+    c = np.asarray(out.centerness[0])[fg[0]]
+    assert (c > 0).all() and (c <= 1).all()
+
+
+def test_polar_assign_dedupe_unique_gt_per_anchor():
+    gt_labels, gt_bboxes, gt_contours, mask_gt = scene()
+    # add an overlapping second instance
+    gt_labels[0, 1] = 2
+    gt_bboxes[0, 1] = [10, 10, 26, 26]
+    gt_contours[0, 1] = circle(18, 18, 8)
+    mask_gt[0, 1] = True
+    pts, st = anchors()
+    A = pts.shape[0]
+    pd_scores = jnp.full((2, A, 3), 0.5)
+    pd_rays = jnp.full((2, A, 36), 8.0)
+    out = polar_task_aligned_assign(
+        pd_scores, pd_rays, pts * st,
+        jnp.asarray(gt_labels), jnp.asarray(gt_bboxes), jnp.asarray(gt_contours),
+        jnp.asarray(mask_gt), cand=16,
+    )
+    # every fg anchor has exactly one gt and consistent label
+    fg = np.asarray(out.fg_mask[0])
+    lab = np.asarray(out.target_labels[0])
+    tgt = np.asarray(out.target_gt_idx[0])
+    for a in np.where(fg)[0]:
+        assert lab[a] == gt_labels[0, tgt[a]]
+
+
+def batchify(gt_labels, gt_bboxes, gt_contours, mask_gt, imgsz=32):
+    return {
+        "cls": jnp.asarray(gt_labels),
+        "bboxes": jnp.asarray(
+            np.concatenate(
+                [
+                    (gt_bboxes[..., :2] + gt_bboxes[..., 2:]) / 2,
+                    gt_bboxes[..., 2:] - gt_bboxes[..., :2],
+                ],
+                -1,
+            )
+            / imgsz
+        ),
+        "segments": jnp.asarray(gt_contours / imgsz),
+        "mask_gt": jnp.asarray(mask_gt),
+    }
+
+
+def test_segmentation_loss_prefers_good_predictions():
+    gt_labels, gt_bboxes, gt_contours, mask_gt = scene()
+    batch = batchify(gt_labels, gt_bboxes, gt_contours, mask_gt)
+    strides = (8, 16, 32)
+    nc = 3
+    hw = [(32 // s, 32 // s) for s in strides]
+
+    def feats_with(ray_val, cls_logit):
+        out = []
+        for (h, w), s in zip(hw, strides):
+            f = np.zeros((2, h, w, 36 + nc), np.float32)
+            f[..., :36] = ray_val / s
+            f[..., 36:] = -6.0
+            f[..., 36 + 1] = cls_logit  # class 1 logit
+            out.append(jnp.asarray(f))
+        return out
+
+    # identical class predictions, different ray quality: the polar-IoU term
+    # must prefer rays matching the GT radius (8px)
+    good = L.segmentation_loss(feats_with(8.0, 0.0), batch, strides, nc, HYP, cand=16)
+    bad = L.segmentation_loss(feats_with(2.0, 0.0), batch, strides, nc, HYP, cand=16)
+    assert float(good.items["seg_loss"]) < float(bad.items["seg_loss"])
+    assert float(good.total) < float(bad.total)
+    assert np.isfinite(float(good.total))
+    assert set(good.items) == {"seg_loss", "cls_loss"}
+
+
+def test_segmentation_loss_grads_finite():
+    gt_labels, gt_bboxes, gt_contours, mask_gt = scene()
+    batch = batchify(gt_labels, gt_bboxes, gt_contours, mask_gt)
+    strides = (8, 16, 32)
+    hw = [(32 // s, 32 // s) for s in strides]
+    feats = [jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, h, w, 39)).astype(np.float32)) for h, w in hw]
+
+    def f(feats):
+        return L.segmentation_loss(feats, batch, strides, 3, HYP, cand=16).total
+
+    grads = jax.grad(f)(feats)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_detection_loss_and_grads():
+    gt_labels, gt_bboxes, gt_contours, mask_gt = scene()
+    batch = batchify(gt_labels, gt_bboxes, gt_contours, mask_gt)
+    strides = (8, 16, 32)
+    hw = [(32 // s, 32 // s) for s in strides]
+    reg_max, nc = 16, 3
+    feats = [
+        jnp.asarray(
+            np.random.default_rng(1).normal(0, 1, (2, h, w, 4 * reg_max + nc)).astype(np.float32)
+        )
+        for h, w in hw
+    ]
+    out = L.detection_loss(feats, batch, strides, nc, HYP, reg_max)
+    assert np.isfinite(float(out.total))
+    grads = jax.grad(lambda fs: L.detection_loss(fs, batch, strides, nc, HYP, reg_max).total)(feats)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_classification_loss():
+    preds = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
+    batch = {"cls": jnp.asarray([0, 1])}
+    out = L.classification_loss(preds, batch)
+    assert float(out.total) > 0
+    worse = L.classification_loss(jnp.asarray([[0.1, 0.9], [0.8, 0.2]]), batch)
+    assert float(worse.total) > float(out.total)

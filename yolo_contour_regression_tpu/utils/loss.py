@@ -1,0 +1,280 @@
+"""Training losses — pure, jit-able functions over fixed-shape batches.
+
+TPU-native re-implementation of the reference loss layer (utils/loss.py):
+  - ``segmentation_loss``: the active polar loss ``v8SegmentationLoss``
+    (loss.py:772-878): polar-IoU ray loss + BCE cls, v8-TAL polar assignment.
+  - ``detection_loss``: stock ``oriv8DetectionLoss`` (loss.py:414-506):
+    CIoU + DFL + BCE with stock TAL (alpha=0.5, beta=6.0).
+  - ``classification_loss``: ``v8ClassificationLoss`` (loss.py:1107): CE/64.
+  - ``pose_loss``: ``v8PoseLoss`` (loss.py:1019): detect loss + OKS-style kpt
+    location loss + kpt-visibility BCE.
+
+GT batches arrive dense: (B, N_max) padded instances with a validity mask —
+the ragged ``batch_idx`` bucketing of the reference (loss.py:215 preprocess)
+happens once on the host in the data pipeline, not per step on device.
+
+Deliberate fix vs reference: contour GT scaling is per-point (x*w, y*h); the
+reference scales the flattened 720-vector halves (loss.py:236-237), which is
+only correct for square imgsz (SURVEY.md §2.1 quirk (a)).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nn.modules.head import flatten_levels
+from ..ops import polar as polar_ops
+from ..ops.boxes import bbox2dist, bbox_iou, dist2bbox, xywh2xyxy
+from .tal import polar_task_aligned_assign, task_aligned_assign
+
+
+class LossOut(NamedTuple):
+    total: jnp.ndarray
+    items: Dict[str, jnp.ndarray]
+
+
+def _bce(logits, targets):
+    return optax.sigmoid_binary_cross_entropy(logits, targets)
+
+
+def segmentation_loss(
+    feats: Sequence[jnp.ndarray],  # per-level (B, H, W, 36+nc) raw maps
+    batch: Dict[str, jnp.ndarray],  # cls (B,N), bboxes (B,N,4) xywh norm,
+    #                                  segments (B,N,360,2) norm, mask_gt (B,N)
+    strides: Sequence[int],
+    nc: int,
+    hyp,
+    cand: int = 128,
+) -> LossOut:
+    """Polar segmentation loss (reference v8SegmentationLoss, loss.py:772)."""
+    nm = polar_ops.NUM_RAYS
+    B = feats[0].shape[0]
+    dt = jnp.float32  # assigner/loss math in f32 even if model ran bf16
+
+    x = flatten_levels(feats).astype(dt)  # (B, A, nm+nc)
+    pred_rays, pred_scores = x[..., :nm], x[..., nm:]
+
+    feat_hw = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=dt)
+    img_h = feat_hw[0][0] * strides[0]
+    img_w = feat_hw[0][1] * strides[0]
+
+    # GT to pixel space (per-point scaling — see module docstring)
+    scale4 = jnp.asarray([img_w, img_h, img_w, img_h], dt)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dt) * scale4)
+    gt_contours = batch["segments"].astype(dt) * jnp.asarray([img_w, img_h], dt)
+    gt_labels = batch["cls"].astype(jnp.int32)
+    mask_gt = batch["mask_gt"].astype(bool)
+
+    pred_rays_px = pred_rays * stride_t[None, :, :]  # (B, A, 36)
+
+    assign = polar_task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_rays_px),
+        anchor_points * stride_t,
+        gt_labels,
+        gt_bboxes,
+        gt_contours,
+        mask_gt,
+        alpha=0.5,
+        beta=4.0,
+        topk=10,
+        cand=cand,
+    )
+
+    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+    loss_cls = _bce(pred_scores, assign.target_scores).sum() / target_scores_sum
+
+    weight = assign.target_scores.sum(-1) * assign.fg_mask  # (B, A)
+    loss_ray = polar_ops.mask_iou_loss(
+        pred_rays_px, assign.target_rays, weight, target_scores_sum
+    )
+
+    box_gain = hyp.box
+    cls_gain = hyp.cls
+    total = (loss_ray * box_gain + loss_cls * cls_gain) * B
+    return LossOut(total, {"seg_loss": loss_ray * box_gain, "cls_loss": loss_cls * cls_gain})
+
+
+def _df_loss(pred_dist, target, reg_max):
+    """Distribution focal loss (reference loss.py:75 _df_loss).
+
+    pred_dist (..., 4, reg_max) logits, target (..., 4) continuous in
+    [0, reg_max-1]. Returns (...,) mean over the 4 sides."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    ce_l = -jnp.take_along_axis(logp, jnp.clip(tl, 0, reg_max - 1)[..., None], -1)[..., 0]
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], -1)[..., 0]
+    return (ce_l * wl + ce_r * wr).mean(-1)
+
+
+def detection_loss(
+    feats: Sequence[jnp.ndarray],  # per-level (B, H, W, 4*reg_max+nc)
+    batch: Dict[str, jnp.ndarray],  # cls (B,N), bboxes (B,N,4) xywh norm, mask_gt
+    strides: Sequence[int],
+    nc: int,
+    hyp,
+    reg_max: int = 16,
+) -> LossOut:
+    """Stock detect loss (reference oriv8DetectionLoss, loss.py:414)."""
+    B = feats[0].shape[0]
+    dt = jnp.float32
+    x = flatten_levels(feats).astype(dt)
+    pred_dist, pred_scores = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+
+    feat_hw = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=dt)
+    img_h = feat_hw[0][0] * strides[0]
+    img_w = feat_hw[0][1] * strides[0]
+
+    scale4 = jnp.asarray([img_w, img_h, img_w, img_h], dt)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dt) * scale4)
+    gt_labels = batch["cls"].astype(jnp.int32)
+    mask_gt = batch["mask_gt"].astype(bool)
+
+    # DFL expectation decode -> xyxy in grid units
+    b, a, _ = pred_dist.shape
+    probs = jax.nn.softmax(pred_dist.reshape(b, a, 4, reg_max), axis=-1)
+    proj = jnp.arange(reg_max, dtype=dt)
+    ltrb = jnp.einsum("bakr,r->bak", probs, proj)
+    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)  # grid units
+
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes * stride_t[None]),
+        anchor_points * stride_t,
+        gt_labels,
+        gt_bboxes,
+        mask_gt,
+        alpha=0.5,
+        beta=6.0,
+        topk=10,
+    )
+
+    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+    loss_cls = _bce(pred_scores, assign.target_scores).sum() / target_scores_sum
+
+    fg = assign.fg_mask.astype(dt)  # (B, A)
+    weight = assign.target_scores.sum(-1) * fg
+    target_bboxes_g = assign.target_bboxes / stride_t[None]  # grid units
+    iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
+    loss_iou = ((1.0 - iou) * weight).sum() / target_scores_sum
+
+    target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, reg_max - 1)
+    dfl = _df_loss(pred_dist.reshape(b, a, 4, reg_max), target_ltrb, reg_max)
+    loss_dfl = (dfl * weight).sum() / target_scores_sum
+
+    total = (
+        loss_iou * hyp.box + loss_cls * hyp.cls + loss_dfl * hyp.dfl
+    ) * B
+    return LossOut(
+        total,
+        {
+            "box_loss": loss_iou * hyp.box,
+            "cls_loss": loss_cls * hyp.cls,
+            "dfl_loss": loss_dfl * hyp.dfl,
+        },
+    )
+
+
+# OKS sigmas for 17 COCO keypoints (reference v8PoseLoss loss.py:1034)
+OKS_SIGMA = jnp.asarray(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07, .87, .87, .89, .89]
+) / 10.0
+
+
+def pose_loss(
+    feats: Sequence[jnp.ndarray],  # per-level (B,H,W, 4*reg_max+nc+nk)
+    batch: Dict[str, jnp.ndarray],  # + keypoints (B,N,17,3) normalized
+    strides: Sequence[int],
+    nc: int,
+    hyp,
+    kpt_shape: Tuple[int, int] = (17, 3),
+    reg_max: int = 16,
+) -> LossOut:
+    """Pose loss (reference v8PoseLoss loss.py:1019): detect losses + OKS-style
+    keypoint location loss + visibility BCE on assigned anchors."""
+    nk = kpt_shape[0] * kpt_shape[1]
+    det_feats = [f[..., :-nk] for f in feats]
+    det = detection_loss(det_feats, batch, strides, nc, hyp, reg_max)
+
+    dt = jnp.float32
+    kpt_raw = flatten_levels([f[..., -nk:] for f in feats]).astype(dt)  # (B,A,nk)
+    feat_hw = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=dt)
+    img_h = feat_hw[0][0] * strides[0]
+    img_w = feat_hw[0][1] * strides[0]
+
+    # redo assignment (shared with detect internally; acceptable cost, keeps fn pure)
+    x = flatten_levels(det_feats).astype(dt)
+    pred_dist, pred_scores = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    b, a, _ = pred_dist.shape
+    probs = jax.nn.softmax(pred_dist.reshape(b, a, 4, reg_max), axis=-1)
+    ltrb = jnp.einsum("bakr,r->bak", probs, jnp.arange(reg_max, dtype=dt))
+    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)
+    scale4 = jnp.asarray([img_w, img_h, img_w, img_h], dt)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dt) * scale4)
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes * stride_t[None]),
+        anchor_points * stride_t,
+        batch["cls"].astype(jnp.int32),
+        gt_bboxes,
+        batch["mask_gt"].astype(bool),
+        alpha=0.5,
+        beta=6.0,
+        topk=10,
+    )
+    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+
+    # decoded keypoints in px (reference kpts_decode loss.py:1098)
+    k = kpt_raw.reshape(b, a, kpt_shape[0], kpt_shape[1])
+    kxy = (k[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
+
+    gt_kpts = batch["keypoints"].astype(dt)  # (B, N, 17, 3) normalized xy + vis
+    gt_kxy = gt_kpts[..., :2] * jnp.asarray([img_w, img_h], dt)
+    sel_kxy = jnp.take_along_axis(gt_kxy, assign.target_gt_idx[:, :, None, None], axis=1)
+    sel_vis = jnp.take_along_axis(
+        gt_kpts[..., 2], assign.target_gt_idx[:, :, None], axis=1
+    )  # (B, A, 17)
+    kpt_mask = (sel_vis > 0) & assign.fg_mask[..., None]
+
+    area = jnp.prod(
+        assign.target_bboxes[..., 2:] - assign.target_bboxes[..., :2], axis=-1
+    )[..., None]
+    d2 = ((kxy - sel_kxy) ** 2).sum(-1)  # (B, A, 17)
+    e = d2 / (2 * OKS_SIGMA[None, None, :] ** 2) / (area + 1e-9) / 2
+    loss_kpt = (
+        ((1 - jnp.exp(-e)) * kpt_mask).sum()
+        / jnp.maximum(kpt_mask.sum(), 1.0)
+    )
+    if kpt_shape[1] == 3:
+        loss_kobj = (
+            (_bce(k[..., 2], kpt_mask.astype(dt)) * assign.fg_mask[..., None]).sum()
+            / jnp.maximum(assign.fg_mask.sum() * kpt_shape[0], 1.0)
+        )
+    else:
+        loss_kobj = jnp.zeros((), dt)
+
+    B = feats[0].shape[0]
+    total = det.total + (loss_kpt * hyp.pose + loss_kobj * hyp.kobj) * B
+    items = dict(det.items)
+    items.update({"pose_loss": loss_kpt * hyp.pose, "kobj_loss": loss_kobj * hyp.kobj})
+    return LossOut(total, items)
+
+
+def classification_loss(preds: jnp.ndarray, batch: Dict[str, jnp.ndarray]) -> LossOut:
+    """CE summed / 64 (reference v8ClassificationLoss loss.py:1107). The fork's
+    Classify head outputs sigmoid probs; CE computed on their log."""
+    labels = batch["cls"].astype(jnp.int32).reshape(-1)
+    logp = jnp.log(jnp.clip(preds, 1e-7, 1.0))
+    logp = logp - jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
+    loss = nll.sum() / 64.0
+    return LossOut(loss, {"cls_loss": loss})

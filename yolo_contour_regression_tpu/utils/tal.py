@@ -1,0 +1,244 @@
+"""Task-aligned assignment — polar and stock — as fixed-shape jit-able fns.
+
+TPU-native re-implementation of the reference assigners:
+  - ``polar_task_aligned_assign``: the canonical "polarpaper" polar TAL
+    (reference tal.py:1109-1390): candidate anchors inside the GT box, GT rays
+    per (gt, anchor) via 360-point angle binning, overlaps = polar MaskIoU,
+    align = score^alpha * iou^beta, top-10 per GT, dedupe per anchor by max
+    overlap, normalized target scores.
+  - ``task_aligned_assign``: the stock v8 TAL (reference tal.py:252
+    oriTaskAlignedAssigner) with CIoU overlaps, used by detect/pose/segori.
+
+Design (NOT a port): the reference gathers ragged ``[mask_gt]`` index sets and
+loops scatter ops; here every tensor is statically shaped. The polar metric is
+computed only for a static top-``cand`` candidate set per GT (exact whenever
+the in-box anchor count fits the cap — candidates are ranked in-box-first,
+then by the predicted class score, so the cap degrades gracefully for huge
+objects). Results are scattered back to dense (B, A) target maps, which is
+what the loss wants anyway.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import polar as polar_ops
+from ..ops.boxes import bbox_iou
+
+EPS = 1e-9
+INF = 1e9
+
+
+class AssignResult(NamedTuple):
+    target_labels: jnp.ndarray  # (B, A) int32
+    target_bboxes: jnp.ndarray  # (B, A, 4) xyxy (same units as gt_bboxes)
+    target_scores: jnp.ndarray  # (B, A, nc) normalized soft targets
+    fg_mask: jnp.ndarray  # (B, A) bool
+    target_gt_idx: jnp.ndarray  # (B, A) int32
+    target_rays: jnp.ndarray  # (B, A, 36) GT ray distances (polar only; zeros otherwise)
+    centerness: jnp.ndarray  # (B, A) polar centerness of GT rays (polar only)
+
+
+def select_candidates_in_gts(anc_points, gt_bboxes, eps=EPS):
+    """(A, 2), (B, N, 4) -> (B, N, A) bool: anchor center strictly inside box
+    (reference tal.py select_candidates_in_gts)."""
+    x, y = anc_points[:, 0], anc_points[:, 1]
+    lt_x = x[None, None, :] - gt_bboxes[..., 0:1]
+    lt_y = y[None, None, :] - gt_bboxes[..., 1:2]
+    rb_x = gt_bboxes[..., 2:3] - x[None, None, :]
+    rb_y = gt_bboxes[..., 3:4] - y[None, None, :]
+    return (
+        jnp.minimum(jnp.minimum(lt_x, lt_y), jnp.minimum(rb_x, rb_y)) > eps
+    )
+
+
+def _topk_mask(metrics, topk, valid):
+    """(..., K) metric -> (..., K) bool mask of the top-`topk` entries,
+    restricted to `valid` (reference select_topk_candidates: indices are taken
+    by metric rank regardless of value, then invalid GTs zeroed)."""
+    gated = jnp.where(valid, metrics, -INF)
+    kth = jax.lax.top_k(gated, topk)[0][..., -1:]
+    mask = (gated >= kth) & valid
+    # guard against ties producing > topk entries: keep ranked-first ones
+    ranked = jnp.cumsum(mask, axis=-1)
+    return mask & (ranked <= topk)
+
+
+def _dedupe_by_overlap(mask_pos, overlaps, n_max):
+    """Resolve anchors claimed by multiple GTs: keep max-overlap GT
+    (reference tal.py select_highest_overlaps)."""
+    fg_count = mask_pos.sum(1)  # (B, A)
+    gated = jnp.where(mask_pos > 0, overlaps, -INF)
+    best_gt = gated.argmax(1)  # (B, A)
+    onehot = jax.nn.one_hot(best_gt, n_max, dtype=mask_pos.dtype, axis=1)
+    mask_final = jnp.where((fg_count > 1)[:, None, :], onehot, mask_pos)
+    fg_mask = mask_final.sum(1) > 0
+    target_gt_idx = mask_final.argmax(1)
+    return target_gt_idx, fg_mask, mask_final
+
+
+def _normalized_target_scores(
+    gt_labels, target_gt_idx, fg_mask, align_dense, overlaps_dense, mask_final, nc
+):
+    """One-hot targets scaled by the per-GT normalized align metric
+    (reference tal.py:1199-1208)."""
+    target_labels = jnp.take_along_axis(
+        gt_labels, target_gt_idx, axis=1
+    )  # (B, A)
+    target_labels = jnp.clip(target_labels, 0, None)
+    onehot = jax.nn.one_hot(target_labels, nc, dtype=align_dense.dtype)
+    onehot = onehot * fg_mask[..., None]
+
+    align_pos = align_dense * mask_final  # (B, N, A)
+    pos_align_max = align_pos.max(-1, keepdims=True)  # (B, N, 1)
+    pos_overlap_max = (overlaps_dense * mask_final).max(-1, keepdims=True)
+    norm = (align_pos * pos_overlap_max / (pos_align_max + EPS)).max(1)  # (B, A)
+    return target_labels, onehot * norm[..., None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("topk", "cand", "chunk"),
+)
+def polar_task_aligned_assign(
+    pd_scores: jnp.ndarray,  # (B, A, nc) sigmoid scores
+    pd_rays: jnp.ndarray,  # (B, A, 36) pred ray distances, px
+    anc_points: jnp.ndarray,  # (A, 2) anchor centers, px
+    gt_labels: jnp.ndarray,  # (B, N) int32
+    gt_bboxes: jnp.ndarray,  # (B, N, 4) xyxy px
+    gt_contours: jnp.ndarray,  # (B, N, 360, 2) px
+    mask_gt: jnp.ndarray,  # (B, N) bool
+    alpha: float = 0.5,
+    beta: float = 4.0,
+    topk: int = 10,
+    cand: int = 128,
+    chunk: int = 4096,
+) -> AssignResult:
+    B, A, nc = pd_scores.shape
+    N = gt_labels.shape[1]
+    K = min(cand, A)
+    dt = pd_scores.dtype
+
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B, N, A)
+    valid_pair = mask_in_gts & mask_gt[..., None]
+
+    # --- candidate selection: all in-box anchors first, score as tiebreak ---
+    score_gt = jnp.take_along_axis(
+        jnp.transpose(pd_scores, (0, 2, 1)),  # (B, nc, A)
+        jnp.clip(gt_labels, 0, nc - 1)[:, :, None],
+        axis=1,
+    )  # (B, N, A)
+    cand_key = valid_pair.astype(dt) * (1.0 + score_gt)
+    _, cand_idx = jax.lax.top_k(cand_key, K)  # (B, N, K)
+
+    gather = lambda x: jnp.take_along_axis(x, cand_idx, axis=2)
+    valid_cand = gather(valid_pair)
+    score_cand = gather(score_gt)
+    anc_cand = anc_points[cand_idx]  # (B, N, K, 2)
+    rays_cand = jnp.take_along_axis(
+        jnp.broadcast_to(pd_rays[:, None], (B, N, A, pd_rays.shape[-1])),
+        cand_idx[..., None],
+        axis=2,
+    )  # (B, N, K, 36)
+
+    # --- GT rays per candidate pair (the hot loop; chunked internally) ------
+    contour_pairs = jnp.broadcast_to(
+        gt_contours[:, :, None], (B, N, K, polar_ops.NUM_CONTOUR_POINTS, 2)
+    ).reshape(-1, polar_ops.NUM_CONTOUR_POINTS, 2)
+    gt_rays_cand = polar_ops.gt_rays_from_contour(
+        contour_pairs, anc_cand.reshape(-1, 2), chunk=chunk
+    ).reshape(B, N, K, polar_ops.NUM_RAYS)
+
+    overlaps_cand = polar_ops.polar_mask_iou(gt_rays_cand, rays_cand) * valid_cand
+    align_cand = (
+        jnp.power(jnp.clip(score_cand, 0, None), alpha)
+        * jnp.power(jnp.clip(overlaps_cand, 0, None), beta)
+    )
+
+    # --- top-k per GT among candidates --------------------------------------
+    mask_topk = _topk_mask(align_cand, topk, mask_gt[..., None] & (cand_key.max(-1, keepdims=True) >= 0))
+    mask_pos_cand = (mask_topk & valid_cand).astype(dt)
+
+    # --- scatter candidate-space results to dense (B, N, A) -----------------
+    b_ix = jnp.arange(B)[:, None, None]
+    n_ix = jnp.arange(N)[None, :, None]
+    zeros = jnp.zeros((B, N, A), dt)
+    overlaps_dense = zeros.at[b_ix, n_ix, cand_idx].max(overlaps_cand)
+    align_dense = zeros.at[b_ix, n_ix, cand_idx].max(align_cand)
+    mask_pos_dense = zeros.at[b_ix, n_ix, cand_idx].max(mask_pos_cand)
+
+    target_gt_idx, fg_mask, mask_final = _dedupe_by_overlap(
+        mask_pos_dense, overlaps_dense, N
+    )
+
+    # --- per-anchor targets --------------------------------------------------
+    # scatter-add GT rays of the surviving (gt, anchor) pairs; dedupe ensures
+    # <=1 contributing pair per anchor so add == select
+    mask_cand_final = jnp.take_along_axis(mask_final, cand_idx, axis=2) * mask_pos_cand
+    ray_zeros = jnp.zeros((B, A, polar_ops.NUM_RAYS), dt)
+    target_rays = ray_zeros.at[b_ix, cand_idx].add(
+        gt_rays_cand * mask_cand_final[..., None]
+    )
+    centerness = polar_ops.polar_centerness(jnp.clip(target_rays, polar_ops.RAY_EPS, None))
+    centerness = jnp.where(fg_mask, centerness, 0.0)
+
+    target_bboxes = jnp.take_along_axis(
+        gt_bboxes, target_gt_idx[..., None], axis=1
+    )
+    target_labels, target_scores = _normalized_target_scores(
+        gt_labels, target_gt_idx, fg_mask, align_dense, overlaps_dense, mask_final, nc
+    )
+    return AssignResult(
+        target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx,
+        target_rays, centerness,
+    )
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def task_aligned_assign(
+    pd_scores: jnp.ndarray,  # (B, A, nc) sigmoid scores
+    pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy px
+    anc_points: jnp.ndarray,  # (A, 2) px
+    gt_labels: jnp.ndarray,  # (B, N)
+    gt_bboxes: jnp.ndarray,  # (B, N, 4) xyxy px
+    mask_gt: jnp.ndarray,  # (B, N) bool
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    topk: int = 10,
+) -> AssignResult:
+    """Stock v8 TAL (reference tal.py:252): overlaps = CIoU(gt, pred), dense."""
+    B, A, nc = pd_scores.shape
+    N = gt_labels.shape[1]
+    dt = pd_scores.dtype
+
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)
+    valid_pair = mask_in_gts & mask_gt[..., None]
+
+    score_gt = jnp.take_along_axis(
+        jnp.transpose(pd_scores, (0, 2, 1)),
+        jnp.clip(gt_labels, 0, nc - 1)[:, :, None],
+        axis=1,
+    )
+    overlaps = bbox_iou(
+        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True
+    )
+    overlaps = jnp.clip(overlaps, 0, None) * valid_pair
+    align = jnp.power(jnp.clip(score_gt, 0, None), alpha) * jnp.power(overlaps, beta)
+    align = align * valid_pair
+
+    mask_topk = _topk_mask(align, topk, mask_gt[..., None])
+    mask_pos = (mask_topk & valid_pair).astype(dt)
+
+    target_gt_idx, fg_mask, mask_final = _dedupe_by_overlap(mask_pos, overlaps, N)
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)
+    target_labels, target_scores = _normalized_target_scores(
+        gt_labels, target_gt_idx, fg_mask, align, overlaps, mask_final, nc
+    )
+    zeros_r = jnp.zeros((B, A, polar_ops.NUM_RAYS), dt)
+    return AssignResult(
+        target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx,
+        zeros_r, jnp.zeros((B, A), dt),
+    )
