@@ -1,0 +1,101 @@
+"""Headline benchmark: yolov8n-seg (polar) end-to-end pipeline throughput.
+
+Measures images/sec/chip at 640px for the full inference pipeline —
+normalize (pre) + backbone/PAN/head + in-graph polar decode + on-device NMS —
+on the default JAX device (one TPU chip under the driver).
+
+Timing methodology: on this image the TPU is reached through a tunnel where
+``block_until_ready`` does not actually synchronize (measured 27x physical
+peak with it) and a host readback costs ~30ms RTT. So the pipeline is
+iterated IN-GRAPH with a lax.fori_loop whose carry creates a true data
+dependency between iterations, and per-iteration time is the difference
+between a long and a short loop (RTT and dispatch cancel out).
+
+Baseline anchor (BASELINE.md): the reference's A100-TensorRT yolov8n-seg
+pipeline is ~826 img/s. North star: >= 2x that per chip.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 826.0  # A100 TensorRT yolov8n-seg (README.md:140,148)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.ops.nms import non_max_suppression
+
+    imgsz = 640
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    dtype = jnp.bfloat16
+
+    model = build_model(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "yolo_contour_regression_tpu/cfg/models/yolov8-seg.yaml",
+        ),
+        nc=10,
+        dtype=dtype,
+    )
+    variables = model.init(imgsz=imgsz)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def pipeline_loop(variables, raw_u8, n):
+        def body(i, acc):
+            # acc feeds back into the input: a real data dependency, so the
+            # n iterations cannot overlap or be elided
+            x = raw_u8.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
+            pred = model.predict(variables, x)
+            out = non_max_suppression(
+                pred.astype(jnp.float32), nc=model.nc, conf_thres=0.25,
+                iou_thres=0.7, pre_nms=1024, max_det=300,
+            )
+            return out["scores"].sum()
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+
+    n_short = int(os.environ.get("BENCH_NSHORT", "4"))
+    n_long = int(os.environ.get("BENCH_NLONG", "36"))
+
+    def timed(n):
+        float(pipeline_loop(variables, raw, n))  # warmup/compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(pipeline_loop(variables, raw, n))  # readback = true sync
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_short = timed(n_short)
+    t_long = timed(n_long)
+    per_iter = (t_long - t_short) / (n_long - n_short)
+    imgs_per_sec = batch / per_iter
+
+    print(
+        json.dumps(
+            {
+                "metric": "yolov8n-seg_e2e_throughput_640px",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

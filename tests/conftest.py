@@ -2,7 +2,10 @@
 run anywhere (SURVEY.md §4 testing-gap note). Must run before jax imports."""
 import os
 
+# NOTE: the axon TPU plugin in this image ignores JAX_PLATFORMS=cpu (the tpu
+# backend stays default); JAX_PLATFORM_NAME=cpu does demote it.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,141 @@
+"""The jitted training step — one fused XLA program per device.
+
+This is the TPU-native equivalent of the reference's inner loop
+(trainer.py:330-377: AMP forward, backward, grad-accumulate, clip, optimizer
+step, EMA update): forward + loss + grad + optimizer + EMA in ONE compiled
+function, pjit-sharded over the ``batch`` mesh axis with replicated params.
+Gradients are averaged by XLA-inserted collectives (the NCCL all-reduce
+equivalent); loss scaling by world size (trainer.py:365) falls out of the
+mean. Gradient accumulation uses ``optax.MultiSteps``-style scan-free
+micro-batching via ``lax.scan`` when ``accumulate > 1``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils import optim as optim_mod
+from ..utils.loss import (
+    classification_loss,
+    detection_loss,
+    pose_loss,
+    segmentation_loss,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+
+
+def init_train_state(variables, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_loss_fn(model, hyp, cand: int = 128) -> Callable:
+    """(variables, images, batch, train) -> (total, (items, new_batch_stats))."""
+    task = model.task
+
+    def loss_fn(params, batch_stats, images, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, new_stats = model.raw_forward(variables, images, train=True)
+        if task == "segment":
+            res = segmentation_loss(out, batch, model.strides, model.nc, hyp, cand=cand)
+        elif task == "classify":
+            res = classification_loss(out, batch)
+        elif task == "pose":
+            res = pose_loss(out, batch, model.strides, model.nc, hyp, model.kpt_shape, model.reg_max)
+        else:
+            res = detection_loss(out, batch, model.strides, model.nc, hyp, model.reg_max)
+        return res.total, (res.items, new_stats)
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    hyp,
+    cand: int = 128,
+    accumulate: int = 1,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted step fn: (state, images, batch) -> (state, metrics).
+
+    With a mesh, inputs are expected batch-sharded and state replicated; the
+    same compiled fn covers 1..N chips (mesh of 1 == single-device).
+    """
+    loss_fn = make_loss_fn(model, hyp, cand=cand)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step_fn(state: TrainState, images, batch):
+        if accumulate > 1:
+            # micro-batch scan: split dim 0 into `accumulate` chunks
+            def micro(carry, xs):
+                g_acc, stats = carry
+                im, bt = xs
+                (tot, (items, new_stats)), g = grad_fn(state.params, stats, im, bt)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, new_stats), (tot, items)
+
+            def split(x):
+                return x.reshape((accumulate, x.shape[0] // accumulate) + x.shape[1:])
+
+            images_s = split(images)
+            batch_s = jax.tree_util.tree_map(split, batch)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, new_stats), (totals, items) = jax.lax.scan(
+                micro, (zeros, state.batch_stats), (images_s, batch_s)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accumulate, grads)
+            total = totals.mean()
+            items = jax.tree_util.tree_map(jnp.mean, items)
+        else:
+            (total, (items, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, images, batch
+            )
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = optim_mod.ema_update(state.ema_params, new_params, state.step + 1)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            ema_params=new_ema,
+            step=state.step + 1,
+        )
+        metrics = dict(items)
+        metrics["loss"] = total
+        return new_state, metrics
+
+    # GSPMD: with a mesh, the caller places `state` replicated
+    # (parallel.replicate_tree) and `images`/`batch` batch-sharded
+    # (parallel.shard_batch); jit propagates those shardings and XLA inserts
+    # the gradient all-reduce over ICI. Single device needs no placement.
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, mesh=None):
+    """Jitted eval forward + decode; EMA params, batch-sharded inputs."""
+
+    def eval_fn(params, batch_stats, images):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.predict(variables, images)
+
+    return jax.jit(eval_fn)

@@ -1,0 +1,84 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's DDP machinery (SURVEY.md §2.8).
+
+The reference re-launches itself under ``torch.distributed.run`` and wires
+NCCL process groups (trainer.py:179-206, dist.py:49-62). Here there is no
+process relaunch and no explicit collective wiring: we build one
+``jax.sharding.Mesh`` over every visible chip, shard the batch axis of the
+data, replicate parameters, and let XLA insert the gradient ``psum`` over ICI
+(DCN across hosts is handled by the JAX runtime after
+``jax.distributed.initialize``).
+
+Scaling axes:
+  - ``batch`` (data parallel): the only parallelism the reference has; default.
+  - The mesh is N-D ready — pass ``axes={'batch': 4, 'model': 2}`` to reserve a
+    model axis for future tensor-parallel heads; everything here only requires
+    the ``batch`` axis to exist.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed():
+    """Multi-host init (no-op single host). Call once at program start."""
+    try:
+        if jax.process_count() > 1:
+            return
+    except RuntimeError:
+        pass
+    # jax.distributed.initialize() is only needed under multi-host launch
+    # environments (it reads coordinator env vars); guarded so single-host
+    # usage never fails.
+    import os
+
+    if "COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axes: Optional[Dict[str, int]] = None,
+) -> Mesh:
+    """Build a mesh over all (or given) devices.
+
+    Default: 1-D ``('batch',)`` data-parallel mesh over every chip — the
+    TPU equivalent of the reference's single DDP world.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if not axes:
+        return Mesh(np.array(devices), ("batch",))
+    names = tuple(axes.keys())
+    sizes = tuple(axes.values())
+    if int(np.prod(sizes)) != len(devices):
+        raise ValueError(f"mesh axes {axes} need {np.prod(sizes)} devices, have {len(devices)}")
+    return Mesh(np.array(devices).reshape(sizes), names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard dim 0 over the 'batch' axis, replicate the rest."""
+    return NamedSharding(mesh, P("batch", *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a pytree of host arrays with dim-0 sharded over 'batch'."""
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(
+            x, NamedSharding(mesh, P("batch", *([None] * (x.ndim - 1))))
+        )
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    sharding = replicate(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
