@@ -1,14 +1,23 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding tests
-run anywhere (SURVEY.md §4 testing-gap note). Must run before jax imports."""
+run anywhere (SURVEY.md §4 testing-gap note).
+
+Environment gotchas on this image (see .claude/skills/verify/SKILL.md):
+  - `JAX_PLATFORMS=axon` is exported globally and jax is PRE-IMPORTED at
+    interpreter startup by the axon plugin, so os.environ tweaks are too late;
+    `jax.config.update("jax_platforms", ...)` still works because backends
+    initialize lazily.
+  - XLA_FLAGS is read at backend init, which happens on first device use —
+    after this conftest runs — so setting it here is effective.
+"""
 import os
 
-# NOTE: the axon TPU plugin in this image ignores JAX_PLATFORMS=cpu (the tpu
-# backend stays default); JAX_PLATFORM_NAME=cpu does demote it.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,115 @@
+"""Data pipeline tests: dataset parsing, augmentation geometry, loader."""
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_shape_dataset
+from yolo_contour_regression_tpu.data.build import DataLoader
+from yolo_contour_regression_tpu.data.dataset import YOLODataset, parse_label_file
+from yolo_contour_regression_tpu.data.instance import Instances, resample_segment
+from yolo_contour_regression_tpu.data import augment as A
+
+HYP = SimpleNamespace(
+    mosaic=1.0, mixup=0.0, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
+    perspective=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4, fliplr=0.5, flipud=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    make_shape_dataset(root, n_train=6, n_val=2, imgsz=96)
+    return root
+
+
+def test_parse_label_file(dataset_dir):
+    lbl = next((dataset_dir / "labels/train").glob("*.txt"))
+    cls, boxes, segs = parse_label_file(str(lbl))
+    assert cls.shape[0] >= 1
+    assert boxes.shape == (cls.shape[0], 4)
+    assert segs.shape == (cls.shape[0], 360, 2)
+    assert (boxes >= 0).all() and (boxes <= 1).all()
+    # contour encloses the box center
+    assert np.isfinite(segs).all()
+
+
+def test_resample_segment_closed():
+    tri = np.array([[0, 0], [10, 0], [5, 10]], np.float32)
+    out = resample_segment(tri, 360)
+    assert out.shape == (360, 2)
+    np.testing.assert_allclose(out[0], [0, 0], atol=1e-4)
+
+
+def test_dataset_getitem_train_shapes(dataset_dir):
+    ds = YOLODataset(
+        dataset_dir / "images/train", imgsz=64, augment=True, hyp=HYP,
+        max_instances=8, seed=0,
+    )
+    s = ds[0]
+    assert s["img"].shape == (64, 64, 3)
+    assert s["img"].dtype == np.float32
+    assert 0 <= s["img"].min() and s["img"].max() <= 1
+    assert s["cls"].shape == (8,)
+    assert s["bboxes"].shape == (8, 4)
+    assert s["segments"].shape == (8, 360, 2)
+    assert s["mask_gt"].shape == (8,)
+    valid = s["mask_gt"]
+    if valid.any():
+        assert (s["bboxes"][valid] >= 0).all() and (s["bboxes"][valid] <= 1).all()
+        # contour stays inside its own bbox (+tolerance)
+        seg = s["segments"][valid]
+        xywh = s["bboxes"][valid]
+        x1 = xywh[:, 0] - xywh[:, 2] / 2 - 0.02
+        x2 = xywh[:, 0] + xywh[:, 2] / 2 + 0.02
+        assert (seg[..., 0] >= x1[:, None]).all() and (seg[..., 0] <= x2[:, None]).all()
+
+
+def test_dataset_val_letterbox(dataset_dir):
+    ds = YOLODataset(dataset_dir / "images/val", imgsz=64, augment=False, max_instances=8)
+    s = ds[0]
+    assert s["img"].shape == (64, 64, 3)
+    assert s["mask_gt"].any()
+
+
+def test_instances_flip_consistency():
+    inst = Instances(
+        np.array([0.0]), np.array([[10, 20, 30, 40]], np.float32),
+        np.tile(np.array([[12.0, 25.0]], np.float32), (1, 360, 1)),
+    )
+    inst.fliplr(100)
+    np.testing.assert_allclose(inst.bboxes, [[70, 20, 90, 40]])
+    np.testing.assert_allclose(inst.segments[0, 0], [88, 25])
+
+
+def test_mosaic_and_perspective_bounds(dataset_dir):
+    import random
+
+    ds = YOLODataset(dataset_dir / "images/train", imgsz=64, augment=False, max_instances=8)
+    rng = random.Random(0)
+    s = A.mosaic4([ds.load_raw(i % len(ds)) for i in range(4)], 64, rng)
+    assert s.img.shape == (128, 128, 3)
+    s = A.random_perspective(s, 64, rng, translate=0.1, scale=0.5, border=(-32, -32))
+    assert s.img.shape == (64, 64, 3)
+    if len(s.inst):
+        assert (s.inst.bboxes[:, [0, 2]] <= 64).all() and (s.inst.bboxes >= 0).all()
+
+
+def test_loader_finite_pass(dataset_dir):
+    ds = YOLODataset(dataset_dir / "images/train", imgsz=64, augment=False, max_instances=8)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, infinite=False, workers=3, drop_last=False)
+    batches = list(loader)
+    assert sum(b["img"].shape[0] for b in batches) == len(ds)
+    assert batches[0]["img"].shape == (2, 64, 64, 3)
+
+
+def test_loader_infinite_and_sharded(dataset_dir):
+    ds = YOLODataset(dataset_dir / "images/train", imgsz=64, augment=False, max_instances=8)
+    loader = DataLoader(
+        ds, batch_size=2, shuffle=True, infinite=True, workers=2,
+        process_index=0, process_count=2,
+    )
+    it = iter(loader)
+    seen = [next(it) for _ in range(4)]  # crosses an epoch boundary (3 imgs/host)
+    assert all(b["img"].shape == (2, 64, 64, 3) for b in seen)

@@ -1,0 +1,31 @@
+"""yolo_contour_regression_tpu — TPU-native polar contour-regression framework.
+
+A ground-up JAX/XLA/Pallas/pjit re-design with the capabilities of the
+reference ai4in/YOLO-Contour-Regression (an Ultralytics YOLOv8 8.0.149 fork
+replacing prototype-mask segmentation with PolarMask-style 36-ray contour
+regression). Public surface mirrors the reference:
+
+    from yolo_contour_regression_tpu import YOLO
+    model = YOLO("yolov8n-seg.yaml")
+    model.train(data="coco8-seg.yaml", epochs=100, imgsz=640)
+    model.val()
+    results = model.predict("bus.jpg")
+"""
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy to keep `import yolo_contour_regression_tpu` cheap (jax loads on use)
+    if name == "YOLO":
+        from .engine.model import YOLO
+
+        return YOLO
+    if name == "SETTINGS":
+        from .cfg import DEFAULT_CFG_DICT
+
+        return DEFAULT_CFG_DICT
+    raise AttributeError(name)
+
+
+__all__ = ["YOLO", "__version__"]

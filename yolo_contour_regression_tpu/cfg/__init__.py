@@ -79,6 +79,8 @@ def _coerce(k: str, v: Any) -> Any:
     if v is None or isinstance(v, (dict, list)):
         return v
     if k in CFG_BOOL_KEYS and isinstance(v, str):
+        if k in ("resume", "pretrained") and v.lower() not in ("0", "1", "true", "false", "yes", "no"):
+            return v  # these accept a checkpoint path as well as a bool
         return v.lower() in ("1", "true", "yes")
     if k in CFG_INT_KEYS and isinstance(v, (str, float)):
         return int(float(v))

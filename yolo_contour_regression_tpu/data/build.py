@@ -1,0 +1,151 @@
+"""Dataloaders — infinite shuffled iteration with background prefetch.
+
+Replaces the reference's ``InfiniteDataLoader`` + worker processes
+(data/build.py:22-110): on TPU hosts the augmentation workers are plain
+threads (cv2 releases the GIL for the heavy ops) feeding a bounded queue;
+batches are dense numpy dicts ready for a single host->device transfer.
+``DistributedSampler`` sharding is replaced by per-host slicing of the index
+stream (each JAX process consumes its own contiguous shard).
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .augment import collate
+from .dataset import ClassificationDataset, YOLODataset
+
+
+class DataLoader:
+    """Infinite (train) or single-pass (val) loader with thread prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        infinite: bool = True,
+        workers: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.infinite = infinite
+        self.workers = max(1, workers)
+        self.rng = random.Random(seed)
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        # per-host shard (multi-host data parallelism)
+        idx = idx[self.process_index :: self.process_count]
+        if self.drop_last:
+            idx = idx[: len(idx) - len(idx) % self.batch_size]
+        return idx
+
+    def _batches(self) -> Iterator[list]:
+        while True:
+            idx = self._epoch_indices()
+            for i in range(0, len(idx), self.batch_size):
+                chunk = idx[i : i + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    break
+                yield chunk
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batch_iter = self._batches()
+        q: "queue.Queue" = queue.Queue(maxsize=self.workers * 2)
+        stop = threading.Event()
+        lock = threading.Lock()
+
+        def producer():
+            while not stop.is_set():
+                with lock:
+                    try:
+                        chunk = next(batch_iter)
+                    except StopIteration:
+                        q.put(None)
+                        return
+                try:
+                    samples = [self.dataset[j] for j in chunk]
+                    q.put(collate(samples))
+                except Exception as e:  # surface loader errors to consumer
+                    q.put(e)
+                    return
+
+        threads = [threading.Thread(target=producer, daemon=True) for _ in range(self.workers)]
+        for t in threads:
+            t.start()
+        done_workers = 0
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    # a worker finished; batches it queued earlier are already
+                    # ahead of its None in FIFO order, so returning once ALL
+                    # workers signalled loses nothing
+                    done_workers += 1
+                    if done_workers >= self.workers:
+                        return
+                    continue
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train"):
+    """(reference data/build.py:72 build_yolo_dataset)."""
+    augment = mode == "train"
+    return YOLODataset(
+        img_path,
+        imgsz=cfg.imgsz,
+        augment=augment,
+        hyp=cfg,
+        max_instances=getattr(cfg, "max_instances", 48),
+        use_segments=cfg.task in ("segment", "segment_ori"),
+        single_cls=getattr(cfg, "single_cls", False),
+        fraction=getattr(cfg, "fraction", 1.0) if mode == "train" else 1.0,
+        seed=getattr(cfg, "seed", 0),
+    )
+
+
+def build_dataloader(dataset, batch: int, workers: int, shuffle: bool, mode: str = "train", seed: int = 0):
+    import jax
+
+    try:
+        pidx, pcount = jax.process_index(), jax.process_count()
+    except RuntimeError:
+        pidx, pcount = 0, 1
+    return DataLoader(
+        dataset,
+        batch_size=batch,
+        shuffle=shuffle,
+        infinite=mode == "train",
+        workers=workers,
+        seed=seed,
+        drop_last=mode == "train",
+        process_index=pidx,
+        process_count=pcount,
+    )

@@ -1,0 +1,219 @@
+"""Datasets — YOLO-format detection/segmentation + folder classification.
+
+Re-implementation of the reference data layer (``data/dataset.py`` YOLODataset
+label caching :42-175, ``data/base.py`` BaseDataset scanning, and
+``data/utils.py`` verify_image_label :64): scans images, parses YOLO txt
+labels (class + xywh or class + polygon), resamples every polygon to 360
+points at load (reference instance.py:202), caches parsed labels as an .npz
+beside the label dir, and serves augmented fixed-shape samples.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from ..ops.polar import NUM_CONTOUR_POINTS
+from .augment import (
+    Sample,
+    classify_transform_eval,
+    classify_transform_train,
+    format_sample,
+    letterbox_sample,
+    train_transform,
+)
+from .instance import Instances, resample_segment, segments2boxes
+
+IMG_FORMATS = (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp")
+
+
+def img2label_path(img_path: str) -> str:
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return sb.join(img_path.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
+
+
+def parse_label_file(path: str, nc: Optional[int] = None):
+    """YOLO txt -> (cls (n,), bboxes xywh-norm (n,4), segments (n,360,2) norm).
+    5 numbers = box line; >5 = class + polygon (reference verify_image_label
+    data/utils.py:64)."""
+    cls, boxes, segs = [], [], []
+    if os.path.isfile(path):
+        with open(path) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 5:
+                    continue
+                c = int(float(parts[0]))
+                if nc is not None and c >= nc:
+                    continue
+                vals = np.asarray([float(v) for v in parts[1:]], np.float32)
+                if len(vals) == 4:
+                    cls.append(c)
+                    boxes.append(vals)
+                    segs.append(np.zeros((NUM_CONTOUR_POINTS, 2), np.float32))
+                else:
+                    poly = vals.reshape(-1, 2)
+                    seg = resample_segment(poly)
+                    cls.append(c)
+                    boxes.append(segments2boxes(seg[None])[0])
+                    segs.append(seg)
+    if not cls:
+        return (
+            np.zeros((0,), np.int32),
+            np.zeros((0, 4), np.float32),
+            np.zeros((0, NUM_CONTOUR_POINTS, 2), np.float32),
+        )
+    return np.asarray(cls, np.int32), np.stack(boxes), np.stack(segs)
+
+
+class YOLODataset:
+    """Detection/segmentation dataset over an images dir or list file."""
+
+    def __init__(
+        self,
+        img_path,
+        imgsz: int = 640,
+        augment: bool = False,
+        hyp=None,
+        max_instances: int = 48,
+        use_segments: bool = True,
+        single_cls: bool = False,
+        fraction: float = 1.0,
+        rect: bool = False,
+        seed: int = 0,
+        cache: bool = True,
+    ):
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp
+        self.max_instances = max_instances
+        self.use_segments = use_segments
+        self.single_cls = single_cls
+        self.rng = random.Random(seed)
+        self.im_files = self._scan(img_path, fraction)
+        if not self.im_files:
+            raise FileNotFoundError(f"no images found in {img_path}")
+        self.labels = self._load_labels(cache)
+        self.mosaic_enabled = augment
+
+    def _scan(self, img_path, fraction) -> List[str]:
+        files: List[str] = []
+        for p in img_path if isinstance(img_path, (list, tuple)) else [img_path]:
+            p = Path(p)
+            if p.is_dir():
+                files += sorted(
+                    str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_FORMATS
+                )
+            elif p.is_file() and p.suffix == ".txt":
+                base = p.parent
+                with open(p) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line:
+                            f = line if os.path.isabs(line) else str(base / line)
+                            files.append(f)
+            elif p.is_file():
+                files.append(str(p))
+        if fraction < 1.0:
+            files = files[: max(1, round(len(files) * fraction))]
+        return files
+
+    def _cache_path(self) -> Path:
+        h = hashlib.sha1(("".join(self.im_files)).encode()).hexdigest()[:12]
+        first = Path(self.im_files[0])
+        return first.parent / f".label_cache_{h}.npz"
+
+    def _load_labels(self, cache: bool) -> List[Dict[str, np.ndarray]]:
+        cpath = self._cache_path()
+        if cache and cpath.exists():
+            try:
+                z = np.load(cpath, allow_pickle=True)
+                return list(z["labels"])
+            except Exception:
+                pass
+        labels = []
+        for f in self.im_files:
+            c, b, s = parse_label_file(img2label_path(f))
+            if self.single_cls:
+                c = np.zeros_like(c)
+            labels.append({"cls": c, "bboxes": b, "segments": s})
+        if cache:
+            try:
+                np.savez_compressed(cpath, labels=np.asarray(labels, dtype=object))
+            except Exception:
+                pass
+        return labels
+
+    def __len__(self):
+        return len(self.im_files)
+
+    def close_mosaic(self):
+        """Disable mosaic/mixup for final epochs (reference trainer.py:304)."""
+        self.mosaic_enabled = False
+
+    def load_raw(self, i: int) -> Sample:
+        img = cv2.imread(self.im_files[i])
+        if img is None:
+            raise FileNotFoundError(self.im_files[i])
+        h, w = img.shape[:2]
+        lab = self.labels[i]
+        xywh = lab["bboxes"] * np.array([w, h, w, h], np.float32)
+        xyxy = np.concatenate([xywh[:, :2] - xywh[:, 2:] / 2, xywh[:, :2] + xywh[:, 2:] / 2], -1)
+        segs = lab["segments"] * np.array([w, h], np.float32)
+        return Sample(img, Instances(lab["cls"].astype(np.float32), xyxy, segs))
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        if self.augment and self.hyp is not None:
+            hyp = self.hyp
+            if not self.mosaic_enabled:
+                import copy as _copy
+
+                hyp = _copy.copy(hyp)
+                hyp.mosaic = 0.0
+                hyp.mixup = 0.0
+            s = train_transform(self.load_raw, i, len(self), self.imgsz, hyp, self.rng)
+        else:
+            s = letterbox_sample(self.load_raw(i), self.imgsz, scaleup=False)
+        return format_sample(s, self.max_instances)
+
+    def get_shapes(self, i: int):
+        img = cv2.imread(self.im_files[i])
+        return img.shape[:2]
+
+
+class ClassificationDataset:
+    """ImageNet-style root/{class}/img layout with the fork's grayscale
+    transforms (reference data/dataset.py:252 ClassificationDataset +
+    augment.py:950 classify_transforms)."""
+
+    def __init__(self, root, imgsz: int = 224, augment: bool = False, seed: int = 0):
+        self.root = Path(root)
+        self.imgsz = imgsz
+        self.augment = augment
+        self.rng = random.Random(seed)
+        self.classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.samples = [
+            (str(f), ci)
+            for ci, cname in enumerate(self.classes)
+            for f in sorted((self.root / cname).rglob("*"))
+            if f.suffix.lower() in IMG_FORMATS
+        ]
+        if not self.samples:
+            raise FileNotFoundError(f"no classification images under {root}")
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        path, label = self.samples[i]
+        img = cv2.imread(path)
+        if self.augment:
+            x = classify_transform_train(img, self.imgsz, self.rng)
+        else:
+            x = classify_transform_eval(img, self.imgsz)
+        return {"img": x, "cls": np.int32(label)}

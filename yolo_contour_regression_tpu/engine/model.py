@@ -1,0 +1,177 @@
+"""The Model facade — ``YOLO('yolov8n-seg.yaml')`` API.
+
+Re-implementation of the reference engine/model.py Model class (:19-462) with
+its ``task_map`` indirection (models/yolo/model.py:14-36): construct from a
+model yaml (``_new``, model.py:108) or a trained checkpoint (``_load``,
+model.py:130), then ``train`` / ``val`` / ``predict`` / ``export`` /
+``benchmark`` delegate to the task-specific engine drivers.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import numpy as np
+
+from ..cfg import TASK2MODEL, get_cfg
+from ..nn.tasks import build_model, guess_model_task, yaml_model_load
+from ..utils import LOGGER
+from ..utils.checkpoint import load_checkpoint
+from .predictor import (
+    BasePredictor,
+    ClassificationPredictor,
+    PosePredictor,
+    SegmentationPredictor,
+)
+from .trainer import (
+    BaseTrainer,
+    ClassificationTrainer,
+    DetectionTrainer,
+    PoseTrainer,
+    SegmentationTrainer,
+)
+from .validator import (
+    ClassificationValidator,
+    DetectionValidator,
+    PoseValidator,
+    SegmentationValidator,
+)
+
+TASK_MAP: Dict[str, Dict[str, Any]] = {
+    "detect": {
+        "trainer": DetectionTrainer,
+        "validator": DetectionValidator,
+        "predictor": BasePredictor,
+    },
+    "segment": {
+        "trainer": SegmentationTrainer,
+        "validator": SegmentationValidator,
+        "predictor": SegmentationPredictor,
+    },
+    "classify": {
+        "trainer": ClassificationTrainer,
+        "validator": ClassificationValidator,
+        "predictor": ClassificationPredictor,
+    },
+    "pose": {
+        "trainer": PoseTrainer,
+        "validator": PoseValidator,
+        "predictor": PosePredictor,
+    },
+}
+
+
+class YOLO:
+    """User-facing model handle."""
+
+    def __init__(self, model: Union[str, Path] = "yolov8n-seg.yaml", task: Optional[str] = None):
+        model = str(model)
+        self.ckpt = None
+        self.overrides: Dict[str, Any] = {}
+        if model.endswith((".yaml", ".yml")):
+            self._new(model, task)
+        else:
+            self._load(model, task)
+
+    def _new(self, cfg_path: str, task: Optional[str]):
+        cfg = yaml_model_load(cfg_path)
+        self.task = task if task in TASK_MAP else guess_model_task(cfg)
+        if self.task == "segment_ori":
+            self.task = "segment"
+        self.model_cfg = cfg
+        self.model = build_model(cfg, task=guess_model_task(cfg))
+        self.variables = None
+        self.overrides["model"] = cfg_path
+        self.overrides["task"] = self.task
+
+    def _load(self, weights: str, task: Optional[str]):
+        ckpt = load_checkpoint(weights)
+        self.ckpt = ckpt
+        cfg = ckpt["model_yaml"]
+        self.task = task or ckpt["train_args"].get("task") or guess_model_task(cfg)
+        self.model_cfg = cfg
+        self.model = build_model(cfg, task=guess_model_task(cfg))
+        self.model.names = ckpt.get("names", self.model.names)
+        params = ckpt.get("ema_params") or ckpt["params"]
+        self.variables = {"params": params, "batch_stats": ckpt["batch_stats"]}
+        self.overrides = {
+            k: v
+            for k, v in ckpt["train_args"].items()
+            if k in ("imgsz", "task", "single_cls", "data")
+        }
+        self.overrides["model"] = weights
+
+    # ------------------------------------------------------------------
+    @property
+    def names(self):
+        return self.model.names
+
+    def _ensure_variables(self, imgsz: int = 640):
+        if self.variables is None:
+            self.variables = self.model.init(imgsz=imgsz)
+        return self.variables
+
+    def train(self, **kwargs):
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        trainer_cls = TASK_MAP[self.task]["trainer"]
+        self.trainer = trainer_cls(overrides=overrides)
+        metrics = self.trainer.train()
+        # adopt trained weights
+        best = self.trainer.wdir / "best.ckpt"
+        last = self.trainer.wdir / "last.ckpt"
+        src = best if best.exists() else last
+        if src.exists():
+            self._load(str(src), self.task)
+        return metrics
+
+    def val(self, data: Optional[str] = None, **kwargs):
+        overrides = {**self.overrides, **kwargs, "mode": "val"}
+        if data:
+            overrides["data"] = data
+        args = get_cfg(overrides=overrides)
+        validator = TASK_MAP[self.task]["validator"](args=args)
+        self._ensure_variables(args.imgsz)
+        data_arg = args.data
+        return validator(model=self.model, variables=self.variables, data=data_arg)
+
+    def predict(self, source=None, stream: bool = False, **kwargs):
+        overrides = {**self.overrides, **kwargs, "mode": "predict"}
+        overrides.setdefault("conf", 0.25)
+        args = get_cfg(overrides=overrides)
+        args.source = source
+        predictor = TASK_MAP[self.task]["predictor"](args=args)
+        self._ensure_variables(args.imgsz)
+        return predictor(self.model, self.variables, source, names=self.names, stream=stream)
+
+    def __call__(self, source=None, **kwargs):
+        return self.predict(source, **kwargs)
+
+    def export(self, **kwargs):
+        from .exporter import Exporter
+
+        overrides = {**self.overrides, **kwargs, "mode": "export"}
+        args = get_cfg(overrides=overrides)
+        self._ensure_variables(args.imgsz)
+        return Exporter(args=args)(self.model, self.variables)
+
+    def benchmark(self, **kwargs):
+        from ..utils.benchmarks import benchmark
+
+        return benchmark(self, **kwargs)
+
+    def info(self):
+        n_params = self.model.num_params
+        LOGGER.info(
+            f"{type(self.model).__name__}: task={self.task}, "
+            f"{len(self.model.specs)} layers, {n_params:,} params, "
+            f"strides={self.model.strides}"
+        )
+        return {"layers": len(self.model.specs), "parameters": n_params}
+
+    def fuse(self):
+        """Structural reparameterization (RepConv/Conv2/Conv+BN) for deploy."""
+        from ..nn.fuse import fuse_variables
+
+        self._ensure_variables()
+        self.variables, self.model = fuse_variables(self.model, self.variables)
+        return self

@@ -1,0 +1,221 @@
+"""Predictor — streaming inference over images/dirs/videos/streams.
+
+Re-implementation of the reference BasePredictor (engine/predictor.py:59-365)
++ SegmentationPredictor (models/yolo/segment/predict.py). The device part —
+letterboxed batch -> forward -> in-graph decode -> NMS (-> contour raster on
+demand) — is one jitted call; loading/saving stays host-side cv2.
+
+Deliberate fix vs reference: the reference segment predictor still runs the
+stock proto-mask postprocess against polar outputs and so returns zero masks
+(predict.py:10-46 + ops.py:768 — SURVEY.md §2.1); here predictions carry the
+decoded polar contours, and masks are rasterized from them.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Union
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import get_cfg
+from ..data.augment import letterbox
+from ..ops.boxes import xywh2xyxy as np_unused  # noqa: F401 (doc parity)
+from ..ops.nms import non_max_suppression
+from ..utils import LOGGER
+from .results import Results
+
+VID_FORMATS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v", ".wmv")
+IMG_FORMATS = (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp")
+
+
+def iter_source(source) -> Iterator:
+    """Yield (path, BGR image) from file/dir/glob/array/list/video
+    (reference data/loaders.py LoadImages/LoadPilAndNumpy)."""
+    if isinstance(source, np.ndarray):
+        yield "array", source
+        return
+    if isinstance(source, (list, tuple)):
+        for i, s in enumerate(source):
+            if isinstance(s, np.ndarray):
+                yield f"array{i}", s
+            else:
+                yield from iter_source(s)
+        return
+    p = str(source)
+    if os.path.isdir(p):
+        files = sorted(
+            f for f in glob.glob(os.path.join(p, "**", "*"), recursive=True)
+            if Path(f).suffix.lower() in IMG_FORMATS + VID_FORMATS
+        )
+        for f in files:
+            yield from iter_source(f)
+        return
+    suffix = Path(p).suffix.lower()
+    if suffix in VID_FORMATS or p.isdigit() or p.startswith(("rtsp://", "http://", "https://")):
+        cap = cv2.VideoCapture(int(p) if p.isdigit() else p)
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield f"{p}#frame{i}", frame
+            i += 1
+        cap.release()
+        return
+    img = cv2.imread(p)
+    if img is None:
+        raise FileNotFoundError(f"cannot read {p}")
+    yield p, img
+
+
+class BasePredictor:
+    task = "detect"
+
+    def __init__(self, args=None):
+        self.args = args if args is not None else get_cfg()
+        if self.args.conf is None:
+            self.args.conf = 0.25
+        self._eval_fn = None
+
+    def preprocess(self, img: np.ndarray, imgsz: int):
+        lb, gain, pad = letterbox(img, (imgsz, imgsz), scaleup=True)
+        x = cv2.cvtColor(lb, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        return x, gain, pad
+
+    def _build_eval(self, model):
+        nc = model.nc
+        args = self.args
+
+        @jax.jit
+        def eval_fn(variables, images):
+            pred = model.predict(variables, images)
+            if self.task == "detect":
+                from ..ops.boxes import xywh2xyxy
+
+                boxes = jnp.transpose(pred[:, :4], (0, 2, 1))
+                pred = pred.at[:, :4].set(jnp.transpose(xywh2xyxy(boxes), (0, 2, 1)))
+            return non_max_suppression(
+                pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
+                iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 1024),
+                max_det=args.max_det, agnostic=args.agnostic_nms,
+            )
+
+        return eval_fn
+
+    def postprocess(self, out: Dict[str, np.ndarray], bi: int, orig, path, gain, pad, names):
+        keep = out["valid"][bi]
+        boxes = out["boxes"][bi][keep]
+        boxes = (boxes - np.array([pad[0], pad[1], pad[0], pad[1]])) / gain
+        h, w = orig.shape[:2]
+        boxes = np.clip(boxes, 0, [w, h, w, h])
+        data = np.concatenate(
+            [boxes, out["scores"][bi][keep][:, None], out["classes"][bi][keep][:, None]], -1
+        )
+        return Results(orig, path, names, boxes=data)
+
+    def __call__(self, model, variables, source, names=None, stream: bool = False):
+        gen = self._stream(model, variables, source, names or getattr(model, "names", {}))
+        return gen if stream else list(gen)
+
+    def _stream(self, model, variables, source, names):
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval(model)
+        imgsz = self.args.imgsz
+        for path, orig in iter_source(source):
+            t0 = time.perf_counter()
+            x, gain, pad = self.preprocess(orig, imgsz)
+            t1 = time.perf_counter()
+            out = self._eval_fn(variables, jnp.asarray(x)[None])
+            out = {k: np.asarray(v) for k, v in out.items()}
+            t2 = time.perf_counter()
+            res = self.postprocess(out, 0, orig, path, gain, pad, names)
+            res.speed = {
+                "preprocess": (t1 - t0) * 1e3,
+                "inference": (t2 - t1) * 1e3,
+                "postprocess": (time.perf_counter() - t2) * 1e3,
+            }
+            if (
+                self.args.save
+                and isinstance(path, str)
+                and Path(path).suffix.lower() in IMG_FORMATS
+            ):
+                save_dir = Path(self.args.project or "runs") / "predict"
+                save_dir.mkdir(parents=True, exist_ok=True)
+                res.save(str(save_dir / Path(path).name))
+            yield res
+
+
+class SegmentationPredictor(BasePredictor):
+    task = "segment"
+
+    def postprocess(self, out, bi, orig, path, gain, pad, names):
+        keep = out["valid"][bi]
+        boxes = out["boxes"][bi][keep]
+        ex = out["extras"][bi][keep]  # (n, 108)
+        h, w = orig.shape[:2]
+        boxes = (boxes - np.array([pad[0], pad[1], pad[0], pad[1]])) / gain
+        boxes = np.clip(boxes, 0, [w, h, w, h])
+        pts = np.stack([ex[:, :36], ex[:, 36:72]], -1)
+        pts = (pts - np.array(pad)) / gain
+        pts[..., 0] = pts[..., 0].clip(0, w)
+        pts[..., 1] = pts[..., 1].clip(0, h)
+        valid_rays = ex[:, 72:108] > 0.5
+        data = np.concatenate(
+            [boxes, out["scores"][bi][keep][:, None], out["classes"][bi][keep][:, None]], -1
+        )
+        masks = None
+        if self.args.retina_masks or self.args.boxes:
+            # rasterize contours in original-image space on demand
+            from ..ops.raster import fill_polygons
+
+            if pts.shape[0]:
+                masks = np.asarray(
+                    fill_polygons(jnp.asarray(pts), jnp.asarray(valid_rays), h, w)
+                )
+        return Results(
+            orig, path, names, boxes=data, masks=masks, contours=(pts, valid_rays)
+        )
+
+
+class ClassificationPredictor(BasePredictor):
+    task = "classify"
+
+    def _build_eval(self, model):
+        @jax.jit
+        def eval_fn(variables, images):
+            return model.predict(variables, images)
+
+        return eval_fn
+
+    def preprocess(self, img, imgsz):
+        from ..data.augment import classify_transform_eval
+
+        return classify_transform_eval(img, imgsz), 1.0, (0.0, 0.0)
+
+    def _stream(self, model, variables, source, names):
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval(model)
+        for path, orig in iter_source(source):
+            x, _, _ = self.preprocess(orig, self.args.imgsz)
+            probs = np.asarray(self._eval_fn(variables, jnp.asarray(x)[None]))[0]
+            yield Results(orig, path, names, probs=probs)
+
+
+class PosePredictor(BasePredictor):
+    task = "pose"
+
+    def postprocess(self, out, bi, orig, path, gain, pad, names):
+        res = super().postprocess(out, bi, orig, path, gain, pad, names)
+        keep = out["valid"][bi]
+        ex = out["extras"][bi][keep]  # (n, nk) raw kpts
+        if ex.shape[1] % 3 == 0:
+            k = ex.reshape(ex.shape[0], -1, 3).copy()
+            k[..., :2] = (k[..., :2] - np.array(pad)) / gain
+            res.keypoints = k
+        return res

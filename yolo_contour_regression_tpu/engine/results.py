@@ -1,0 +1,179 @@
+"""Inference result containers (reference engine/results.py: Results :165,
+Boxes :375, Masks :463, Probs :562) — numpy-backed, torch-free."""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class Boxes:
+    """data rows: [x1, y1, x2, y2, conf, cls]."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, np.float32).reshape(-1, 6)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    @property
+    def xyxy(self):
+        return self.data[:, :4]
+
+    @property
+    def conf(self):
+        return self.data[:, 4]
+
+    @property
+    def cls(self):
+        return self.data[:, 5]
+
+    @property
+    def xywh(self):
+        b = self.data[:, :4]
+        return np.concatenate([(b[:, :2] + b[:, 2:]) / 2, b[:, 2:] - b[:, :2]], -1)
+
+    @property
+    def xyxyn(self):
+        h, w = self.orig_shape
+        return self.xyxy / np.array([w, h, w, h], np.float32)
+
+    @property
+    def xywhn(self):
+        h, w = self.orig_shape
+        return self.xywh / np.array([w, h, w, h], np.float32)
+
+
+class Masks:
+    """Binary masks (n, H, W) + lazy polygon access."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    @property
+    def xy(self):
+        """Largest contour per mask in pixel coords (reference masks2segments
+        ops.py:907)."""
+        import cv2
+
+        out = []
+        for m in self.data.astype(np.uint8):
+            cs, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+            if cs:
+                c = max(cs, key=cv2.contourArea).reshape(-1, 2).astype(np.float32)
+            else:
+                c = np.zeros((0, 2), np.float32)
+            out.append(c)
+        return out
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return [c / np.array([w, h], np.float32) for c in self.xy]
+
+
+class Contours:
+    """Polar contours (n, 36, 2) px + validity (n, 36) — the polar head's
+    native instance representation (no reference equivalent: the reference
+    rasterizes straight to bitmap masks)."""
+
+    def __init__(self, points: np.ndarray, valid: np.ndarray, orig_shape):
+        self.points = np.asarray(points, np.float32)
+        self.valid = np.asarray(valid, bool)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return self.points.shape[0]
+
+    @property
+    def xy(self):
+        return [p[v] for p, v in zip(self.points, self.valid)]
+
+
+class Probs:
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data, np.float32)
+
+    @property
+    def top1(self):
+        return int(self.data.argmax())
+
+    @property
+    def top5(self):
+        return np.argsort(-self.data)[:5].tolist()
+
+    @property
+    def top1conf(self):
+        return float(self.data.max())
+
+
+class Results:
+    """One image's results: boxes / masks / contours / probs + plotting."""
+
+    def __init__(
+        self,
+        orig_img: np.ndarray,
+        path: str,
+        names: Dict[int, str],
+        boxes: Optional[np.ndarray] = None,
+        masks: Optional[np.ndarray] = None,
+        contours=None,
+        probs: Optional[np.ndarray] = None,
+        keypoints: Optional[np.ndarray] = None,
+        speed: Optional[Dict[str, float]] = None,
+    ):
+        self.orig_img = orig_img
+        self.orig_shape = orig_img.shape[:2]
+        self.path = path
+        self.names = names
+        self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.contours = (
+            Contours(contours[0], contours[1], self.orig_shape) if contours is not None else None
+        )
+        self.probs = Probs(probs) if probs is not None else None
+        self.keypoints = keypoints
+        self.speed = speed or {}
+
+    def __len__(self):
+        for v in (self.boxes, self.masks, self.contours):
+            if v is not None:
+                return len(v)
+        return 0
+
+    def plot(self, line_width: Optional[int] = None, labels: bool = True, conf: bool = True):
+        """Draw boxes/contours onto a copy of the original image."""
+        import cv2
+
+        img = self.orig_img.copy()
+        lw = line_width or max(round(sum(img.shape) / 2 * 0.003), 2)
+        rng = np.random.default_rng(7)
+        colors = {i: tuple(int(c) for c in rng.integers(64, 255, 3)) for i in self.names}
+        if self.contours is not None:
+            for i, pts in enumerate(self.contours.xy):
+                if pts.shape[0] >= 3:
+                    c = colors.get(int(self.boxes.cls[i]) if self.boxes else 0, (0, 255, 0))
+                    cv2.polylines(img, [pts.astype(np.int32)], True, c, lw)
+        if self.boxes is not None:
+            for row in self.boxes.data:
+                x1, y1, x2, y2, cf, cl = row
+                c = colors.get(int(cl), (0, 255, 0))
+                cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), c, lw)
+                if labels:
+                    txt = self.names.get(int(cl), str(int(cl)))
+                    if conf:
+                        txt += f" {cf:.2f}"
+                    cv2.putText(img, txt, (int(x1), max(int(y1) - 3, 10)),
+                                cv2.FONT_HERSHEY_SIMPLEX, lw / 6, c, max(lw // 2, 1))
+        return img
+
+    def save(self, filename: str):
+        import cv2
+
+        cv2.imwrite(filename, self.plot())
+        return filename

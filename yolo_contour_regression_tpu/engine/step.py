@@ -41,7 +41,11 @@ def init_train_state(variables, tx) -> TrainState:
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
-        ema_params=jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), params),
+        # explicit copy: astype() aliases the buffer when dtype already
+        # matches, and aliased params/ema break jit donation
+        ema_params=jax.tree_util.tree_map(
+            lambda x: jnp.array(x, dtype=jnp.float32, copy=True), params
+        ),
         step=jnp.zeros((), jnp.int32),
     )
 

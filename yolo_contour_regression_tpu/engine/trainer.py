@@ -1,0 +1,303 @@
+"""Trainer — the mode driver for ``model.train(...)``.
+
+TPU-native re-implementation of the reference ``engine/trainer.py``
+BaseTrainer (:37-696). Structural differences (deliberate, SURVEY.md §2.8):
+
+  - No DDP subprocess relaunch / NCCL process groups: ONE process per host, a
+    ``jax.sharding.Mesh`` over all chips, params replicated, batch sharded;
+    XLA inserts the gradient all-reduce.
+  - AMP/GradScaler is replaced by bf16 compute (no loss scaling needed on TPU).
+  - Warmup/schedule/EMA/clip live inside the single jitted train step
+    (engine/step.py) instead of Python-side per-step mutation.
+  - Checkpoints: numpy pytree pickles (utils/checkpoint.py) with the same
+    last/best + resume semantics (trainer.py:438,590).
+
+Per-epoch: train steps -> EMA validation (rank-0 semantics: host 0 only) ->
+csv metrics -> checkpoint -> early stopping, mirroring trainer.py:299-427.
+"""
+from __future__ import annotations
+
+import csv as csv_mod
+import math
+import time
+from copy import copy
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..cfg import get_cfg
+from ..data.build import build_dataloader, build_yolo_dataset
+from ..data.dataset import ClassificationDataset
+from ..data.utils import check_cls_dataset, check_det_dataset
+from ..nn.tasks import build_model
+from ..parallel import create_mesh, shard_batch
+from ..parallel.mesh import replicate_tree
+from ..utils import LOGGER, colorstr
+from ..utils.checkpoint import save_checkpoint, load_checkpoint, strip_optimizer
+from ..utils.optim import build_optimizer
+from .step import TrainState, init_train_state, make_train_step
+
+
+class EarlyStopping:
+    """(reference torch_utils.py:478)."""
+
+    def __init__(self, patience: int = 50):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class BaseTrainer:
+    task = "detect"
+
+    def __init__(self, cfg=None, overrides: Optional[Dict] = None):
+        self.args = get_cfg(cfg or {}, overrides or {})
+        self.args.task = getattr(self.args, "task", self.task) or self.task
+        name = self.args.name or f"{self.args.task}_train"
+        project = self.args.project or "runs"
+        self.save_dir = Path(project) / name
+        i = 1
+        while self.save_dir.exists() and not self.args.exist_ok and not self.args.resume:
+            self.save_dir = Path(project) / f"{name}{i}"
+            i += 1
+        self.wdir = self.save_dir / "weights"
+        self.csv = self.save_dir / "results.csv"
+        self.metrics: Dict[str, float] = {}
+        self.best_fitness = 0.0
+        self.start_epoch = 0
+        self._resume_ckpt = None
+        if self.args.resume:
+            self._find_resume()
+
+    # -- dataset / model hooks (overridden per task) -----------------------
+    def get_data(self):
+        return check_det_dataset(self.args.data)
+
+    def get_dataset(self, data, mode: str):
+        cfg = copy(self.args)
+        return build_yolo_dataset(cfg, data[mode], self.args.batch, data, mode=mode)
+
+    def get_validator(self):
+        from .validator import DetectionValidator
+
+        return DetectionValidator(args=copy(self.args))
+
+    def _find_resume(self):
+        last = self.save_dir / "weights" / "last.ckpt"
+        if isinstance(self.args.resume, str):
+            last = Path(self.args.resume)
+        if last.exists():
+            self._resume_ckpt = load_checkpoint(last)
+            for k, v in self._resume_ckpt["train_args"].items():
+                if k not in ("resume", "epochs"):
+                    setattr(self.args, k, v)
+            self.start_epoch = self._resume_ckpt["epoch"] + 1
+            self.best_fitness = self._resume_ckpt["best_fitness"]
+            LOGGER.info(f"resuming from {last} at epoch {self.start_epoch}")
+
+    # -- the loop ----------------------------------------------------------
+    def train(self):
+        args = self.args
+        data = self.get_data()
+        self.data = data
+        nc = data["nc"]
+        args.nc = nc
+
+        model_cfg = args.model or "yolov8n-seg.yaml"
+        if self._resume_ckpt is not None:
+            model_cfg = self._resume_ckpt["model_yaml"]
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if args.amp else jnp.float32
+        self.model = build_model(model_cfg, task=args.task, nc=nc, dtype=dtype)
+        self.model.names = data["names"]
+        variables = self.model.init(
+            jax.random.PRNGKey(args.seed), imgsz=args.imgsz
+        )
+        if self._resume_ckpt is not None:
+            variables = {
+                "params": self._resume_ckpt["params"],
+                "batch_stats": self._resume_ckpt["batch_stats"],
+            }
+
+        train_set = self.get_dataset(data, "train")
+        loader = build_dataloader(
+            train_set, args.batch, args.workers, shuffle=True, mode="train",
+            seed=args.seed,
+        )
+        steps_per_epoch = max(len(loader), 1)
+        iterations = steps_per_epoch * args.epochs
+        accumulate = max(round(args.nbs / args.batch), 1)
+        args.accumulate = accumulate
+
+        tx = build_optimizer(variables["params"], args, steps_per_epoch, iterations)
+        state = init_train_state(variables, tx)
+        if self._resume_ckpt is not None and self._resume_ckpt.get("opt_state") is not None:
+            state = state._replace(
+                opt_state=jax.tree_util.tree_map(
+                    lambda s, r: jnp.asarray(r) if r is not None else s,
+                    state.opt_state, self._resume_ckpt["opt_state"],
+                ),
+                ema_params=self._resume_ckpt["ema_params"],
+                step=jnp.asarray(self._resume_ckpt["step"], jnp.int32),
+            )
+
+        # data-parallel mesh over the largest device count dividing the batch
+        # (the DDP analog of world_size | batch, but auto-adjusted not fatal)
+        devices = jax.devices()
+        n_use = max(d for d in range(1, len(devices) + 1) if args.batch % d == 0)
+        if n_use < len(devices):
+            LOGGER.warning(
+                f"batch {args.batch} not divisible by {len(devices)} devices; "
+                f"using {n_use} device(s)"
+            )
+        mesh = create_mesh(devices[:n_use])
+        state = replicate_tree(mesh, state)
+        step_fn = make_train_step(
+            self.model, tx, args, cand=getattr(args, "cand_per_gt", 128),
+            mesh=mesh, donate=bool(getattr(args, "donate", True)),
+        )
+
+        validator = self.get_validator() if args.val else None
+        stopper = EarlyStopping(args.patience)
+        n_devices = len(mesh.devices.flatten())
+        LOGGER.info(
+            colorstr("bold", f"train: {len(train_set)} imgs, {steps_per_epoch} steps/epoch, "
+                     f"{n_devices} chip(s), batch {args.batch}, imgsz {args.imgsz}")
+        )
+
+        close_mosaic_at = args.epochs - args.close_mosaic
+        data_iter = iter(loader)
+        t_train = time.time()
+        for epoch in range(self.start_epoch, args.epochs):
+            if epoch == close_mosaic_at and hasattr(train_set, "close_mosaic"):
+                LOGGER.info("closing mosaic augmentation")
+                train_set.close_mosaic()
+            epoch_metrics: Dict[str, float] = {}
+            t0 = time.time()
+            for i in range(steps_per_epoch):
+                batch = next(data_iter)
+                images = batch.pop("img")
+                images_d = shard_batch(mesh, images)
+                batch_d = shard_batch(mesh, batch)
+                state, metrics = step_fn(state, images_d, batch_d)
+                if i == steps_per_epoch - 1 or (i % 50 == 0):
+                    # sparse host readbacks: each float() forces a device sync
+                    # (~30ms RTT through the TPU tunnel), so don't do it per step
+                    host = {k: float(v) for k, v in metrics.items()}
+                    epoch_metrics = host
+                    if not math.isfinite(host["loss"]):
+                        raise FloatingPointError(f"non-finite loss at epoch {epoch} step {i}: {host}")
+            dt = time.time() - t0
+            log = {f"train/{k}": v for k, v in epoch_metrics.items()}
+            LOGGER.info(
+                f"epoch {epoch + 1}/{args.epochs}  "
+                + "  ".join(f"{k.split('/')[-1]} {v:.3f}" for k, v in log.items())
+                + f"  ({dt:.1f}s)"
+            )
+
+            fitness = 0.0
+            if validator is not None and jax.process_index() == 0:
+                eval_vars = {
+                    "params": state.ema_params,
+                    "batch_stats": state.batch_stats,
+                }
+                vm = validator(model=self.model, variables=eval_vars, data=data)
+                log.update(vm)
+                fitness = vm.get("fitness", 0.0)
+                self.metrics = vm
+            if fitness >= self.best_fitness:
+                self.best_fitness = fitness
+            self._write_csv(epoch, log)
+            if args.save and jax.process_index() == 0:
+                self._save(state, epoch, fitness)
+            if stopper(epoch, fitness):
+                LOGGER.info(f"early stopping at epoch {epoch + 1} (patience {args.patience})")
+                break
+
+        LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f} h")
+        if args.save and (self.wdir / "best.ckpt").exists():
+            strip_optimizer(self.wdir / "best.ckpt")
+            strip_optimizer(self.wdir / "last.ckpt")
+        self.state = state
+        return self.metrics
+
+    def _save(self, state: TrainState, epoch: int, fitness: float):
+        kw = dict(
+            params=state.params,
+            batch_stats=state.batch_stats,
+            ema_params=state.ema_params,
+            opt_state=state.opt_state,
+            step=int(state.step),
+            epoch=epoch,
+            best_fitness=self.best_fitness,
+            train_args={k: v for k, v in vars(self.args).items() if not callable(v)},
+            model_yaml=self.model.yaml,
+            names=self.model.names,
+        )
+        save_checkpoint(self.wdir / "last.ckpt", **kw)
+        if fitness >= self.best_fitness:
+            save_checkpoint(self.wdir / "best.ckpt", **kw)
+        if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
+            save_checkpoint(self.wdir / f"epoch{epoch + 1}.ckpt", **kw)
+
+    def _write_csv(self, epoch: int, metrics: Dict[str, float]):
+        self.csv.parent.mkdir(parents=True, exist_ok=True)
+        exists = self.csv.exists()
+        with open(self.csv, "a", newline="") as fh:
+            w = csv_mod.writer(fh)
+            if not exists:
+                w.writerow(["epoch"] + list(metrics.keys()))
+            w.writerow([epoch] + [f"{v:.5f}" for v in metrics.values()])
+
+
+class SegmentationTrainer(BaseTrainer):
+    """(reference models/yolo/segment/train.py:12)."""
+
+    task = "segment"
+
+    def get_validator(self):
+        from .validator import SegmentationValidator
+
+        return SegmentationValidator(args=copy(self.args))
+
+
+class DetectionTrainer(BaseTrainer):
+    task = "detect"
+
+
+class PoseTrainer(BaseTrainer):
+    task = "pose"
+
+    def get_validator(self):
+        from .validator import PoseValidator
+
+        return PoseValidator(args=copy(self.args))
+
+
+class ClassificationTrainer(BaseTrainer):
+    """(reference models/yolo/classify/train.py)."""
+
+    task = "classify"
+
+    def get_data(self):
+        return check_cls_dataset(self.args.data)
+
+    def get_dataset(self, data, mode: str):
+        return ClassificationDataset(
+            data[mode], imgsz=self.args.imgsz, augment=mode == "train",
+            seed=self.args.seed,
+        )
+
+    def get_validator(self):
+        from .validator import ClassificationValidator
+
+        return ClassificationValidator(args=copy(self.args))

@@ -1,0 +1,106 @@
+"""Shared utilities: logger, simple profilers, callback bus.
+
+Re-implements the reference infrastructure surface (utils/__init__.py LOGGER
+:207, colorstr, TryExcept, threaded; ops.Profile :19; callbacks/base.py event
+bus) without torch or network side effects (no Sentry, no auto-download).
+"""
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from contextlib import contextmanager
+from pathlib import Path
+from typing import Callable, Dict, List
+
+LOGGING_NAME = "ycr_tpu"
+
+
+def _setup_logger(name: str = LOGGING_NAME, verbose: bool = True) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        h = logging.StreamHandler(sys.stdout)
+        h.setFormatter(logging.Formatter("%(message)s"))
+        logger.addHandler(h)
+    logger.setLevel(logging.INFO if verbose else logging.ERROR)
+    logger.propagate = False
+    return logger
+
+
+LOGGER = _setup_logger()
+
+
+def colorstr(*args):
+    """ANSI color helper (reference utils/__init__.py colorstr)."""
+    *colors, string = args if len(args) > 1 else ("blue", "bold", args[0])
+    table = {
+        "black": "\033[30m", "red": "\033[31m", "green": "\033[32m",
+        "yellow": "\033[33m", "blue": "\033[34m", "magenta": "\033[35m",
+        "cyan": "\033[36m", "white": "\033[37m", "bold": "\033[1m", "end": "\033[0m",
+    }
+    return "".join(table.get(c, "") for c in colors) + str(string) + table["end"]
+
+
+class Profile:
+    """Accumulating context timer (reference ops.py:19). NOTE: on the tunneled
+    TPU in this image, device completion requires a host readback — callers
+    measuring device work must fetch a scalar inside the block."""
+
+    def __init__(self):
+        self.t = 0.0
+        self.n = 0
+
+    def __enter__(self):
+        self._start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.dt = time.perf_counter() - self._start
+        self.t += self.dt
+        self.n += 1
+
+    @property
+    def avg(self):
+        return self.t / max(self.n, 1)
+
+
+class TryExcept:
+    """Context/decorator that logs instead of raising (reference
+    utils/__init__.py:641)."""
+
+    def __init__(self, msg: str = ""):
+        self.msg = msg
+
+    def __call__(self, fn):
+        def wrapped(*a, **k):
+            with self:
+                return fn(*a, **k)
+
+        return wrapped
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, value, tb):
+        if value is not None:
+            LOGGER.warning(f"{self.msg}{': ' if self.msg else ''}{value}")
+        return True
+
+
+# ---- callback event bus (reference utils/callbacks/base.py) ----------------
+
+DEFAULT_CALLBACK_EVENTS = [
+    "on_pretrain_routine_start", "on_pretrain_routine_end",
+    "on_train_start", "on_train_epoch_start", "on_train_batch_start",
+    "optimizer_step", "on_before_zero_grad", "on_train_batch_end",
+    "on_train_epoch_end", "on_fit_epoch_end", "on_model_save",
+    "on_train_end", "on_params_update", "teardown",
+    "on_val_start", "on_val_batch_start", "on_val_batch_end", "on_val_end",
+    "on_predict_start", "on_predict_batch_start", "on_predict_batch_end",
+    "on_predict_postprocess_end", "on_predict_end",
+    "on_export_start", "on_export_end",
+]
+
+
+def get_default_callbacks() -> Dict[str, List[Callable]]:
+    return {e: [] for e in DEFAULT_CALLBACK_EVENTS}
