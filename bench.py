@@ -49,6 +49,11 @@ def main():
         dtype=dtype,
     )
     variables = model.init(imgsz=imgsz)
+    # deploy benchmark: structural reparameterization (RepConv/Conv2/BN fold),
+    # matching the deploy-optimized TensorRT baseline
+    from yolo_contour_regression_tpu.nn.fuse import fuse_variables
+
+    variables, model = fuse_variables(model, variables)
 
     @partial(jax.jit, static_argnames=("n",))
     def pipeline_loop(variables, raw_u8, n):

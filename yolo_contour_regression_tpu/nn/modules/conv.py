@@ -16,10 +16,30 @@ Design notes (not a port):
 """
 from __future__ import annotations
 
+import contextlib
+from contextvars import ContextVar
 from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Deploy (fused) mode: when set, Conv/Conv2/RepConv build as a single
+# conv-with-bias (BN and parallel branches structurally removed). Set by
+# GraphModel during tracing; param trees are produced by nn/fuse.py.
+_DEPLOY: ContextVar = ContextVar("ycr_deploy_mode", default=False)
+
+
+@contextlib.contextmanager
+def deploy_mode(on: bool = True):
+    tok = _DEPLOY.set(on)
+    try:
+        yield
+    finally:
+        _DEPLOY.reset(tok)
+
+
+def in_deploy_mode() -> bool:
+    return _DEPLOY.get()
 
 # The fork switched the default activation from SiLU to ReLU (conv.py:28,158).
 DEFAULT_ACT = "relu"
@@ -66,6 +86,14 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = autopad(self.k, self.p, self.d)
+        if in_deploy_mode():
+            x = nn.Conv(
+                self.c2, (self.k, self.k), strides=(self.s, self.s),
+                padding=[(p, p), (p, p)], feature_group_count=self.g,
+                kernel_dilation=(self.d, self.d), use_bias=True,
+                dtype=self.dtype, name="conv",
+            )(x)
+            return get_act(self.act)(x)
         x = nn.Conv(
             self.c2,
             (self.k, self.k),
@@ -105,6 +133,13 @@ class Conv2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = autopad(self.k, self.p, self.d)
+        if in_deploy_mode():
+            y = nn.Conv(
+                self.c2, (self.k, self.k), strides=(self.s, self.s),
+                padding=[(p, p), (p, p)], feature_group_count=self.g,
+                use_bias=True, dtype=self.dtype, name="conv",
+            )(x)
+            return get_act(self.act)(y)
         y = nn.Conv(
             self.c2,
             (self.k, self.k),
@@ -249,6 +284,13 @@ class RepConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.k == 3
+        if in_deploy_mode():
+            y = nn.Conv(
+                self.c2, (3, 3), strides=(self.s, self.s), padding=[(1, 1), (1, 1)],
+                feature_group_count=self.g, use_bias=True, dtype=self.dtype,
+                name="conv",
+            )(x)
+            return get_act(self.act)(y)
         c1 = x.shape[-1]
         bn_kw = dict(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype
