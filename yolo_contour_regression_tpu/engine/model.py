@@ -146,10 +146,21 @@ class YOLO:
     def __call__(self, source=None, **kwargs):
         return self.predict(source, **kwargs)
 
+    def track(self, source=None, stream: bool = False, tracker: str = "botsort", **kwargs):
+        """Predict + multi-object tracking (reference engine/model.py:246
+        Model.track wiring trackers/track.py callbacks)."""
+        from ..trackers.track import track_results
+
+        kwargs.setdefault("conf", 0.1)  # tracker wants low-conf dets too
+        results = self.predict(source, stream=True, **kwargs)
+        gen = track_results(results, tracker_type=str(tracker).replace(".yaml", ""))
+        return gen if stream else list(gen)
+
     def export(self, **kwargs):
         from .exporter import Exporter
 
         overrides = {**self.overrides, **kwargs, "mode": "export"}
+        overrides.setdefault("batch", 1)  # export default batch=1 (reference)
         args = get_cfg(overrides=overrides)
         self._ensure_variables(args.imgsz)
         return Exporter(args=args)(self.model, self.variables)
