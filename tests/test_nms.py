@@ -59,3 +59,44 @@ def test_non_max_suppression_head_layout():
     assert out["classes"][0][:2].tolist() == [0, 1]
     # extras carried through for the kept top box (anchor 0)
     np.testing.assert_allclose(out["extras"][0][0], [0, 4, 8])
+
+
+def numpy_greedy_nms(boxes, scores, iou_thres):
+    """Sequential reference implementation (torchvision.ops.nms semantics)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (area_i + areas - inter + 1e-7)
+        suppressed |= iou > iou_thres
+        suppressed[i] = False
+    return sorted(keep)
+
+
+def test_fixpoint_nms_matches_sequential_greedy():
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        n = 64
+        centers = rng.uniform(20, 200, (n, 2))
+        wh = rng.uniform(10, 60, (n, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+        scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+        want = numpy_greedy_nms(boxes, scores, 0.5)
+        out = batched_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.zeros(n, jnp.int32),
+            jnp.zeros((n, 1)), conf_thres=0.0, iou_thres=0.5, pre_nms=n,
+            max_det=n, agnostic=True,
+        )
+        got_scores = np.asarray(out["scores"])[np.asarray(out["valid"])]
+        want_scores = np.sort(scores[want])[::-1]
+        np.testing.assert_allclose(np.sort(got_scores)[::-1], want_scores, atol=1e-6)

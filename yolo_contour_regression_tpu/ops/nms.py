@@ -63,15 +63,29 @@ def batched_nms(
     shifted = cand_boxes + offset[:, None]
     iou = box_iou(shifted, shifted)  # (k, k)
 
-    # Greedy scan in score order: box i survives iff no higher-ranked survivor
-    # overlaps it above iou_thres. Sequential by definition; k is static so this
-    # compiles to a tight fori_loop over vector ops.
-    def body(i, keep):
-        sup = (iou[i] > iou_thres) & keep[i]
-        sup = sup.at[i].set(False)
-        return keep & ~sup
+    # Exact greedy NMS solved by fixpoint iteration instead of a k-step serial
+    # scan: box i survives iff no higher-ranked SURVIVOR overlaps it. Iterating
+    # keep <- alive & ~(Tri∘(iou>t) @ keep) stabilizes the first d dependency
+    # levels after d sweeps (d = suppression-chain depth, typically < 10), and
+    # the while_loop exits at the unique fixpoint == the sequential result.
+    # Each sweep is one (k, k) masked matvec -> MXU work, not a scalar loop.
+    rank = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)  # row = suppressor
+    sup_mat = (
+        (iou > iou_thres) & (rank < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
+    ).astype(jnp.float32)  # sup_mat[j, i]: higher-ranked j can suppress i
 
-    keep = jax.lax.fori_loop(0, k, body, cand_alive)
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < k) & jnp.any(keep != prev)
+
+    def body(carry):
+        keep, _, it = carry
+        suppressed = (keep.astype(jnp.float32) @ sup_mat) > 0.0
+        return (cand_alive & ~suppressed, keep, it + 1)
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (cand_alive, ~cand_alive, jnp.zeros((), jnp.int32))
+    )
 
     final_scores = jnp.where(keep, top_scores, -1.0)
     out_scores, sel = jax.lax.top_k(final_scores, min(max_det, k))
