@@ -1,0 +1,128 @@
+"""Infrastructure components: plotting, converter, autobatch, tuner space,
+hub session, callbacks."""
+import json
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+
+def test_plot_images_and_results(tmp_path):
+    from yolo_contour_regression_tpu.utils.plotting import plot_images, plot_results
+
+    imgs = np.random.default_rng(0).uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    batch = {
+        "bboxes": np.tile(np.array([0.5, 0.5, 0.4, 0.4], np.float32), (4, 2, 1)),
+        "cls": np.zeros((4, 2), np.int32),
+        "mask_gt": np.ones((4, 2), bool),
+        "segments": np.full((4, 2, 360, 2), 0.5, np.float32),
+    }
+    out = plot_images(imgs, batch, fname=str(tmp_path / "b.jpg"), names={0: "x"})
+    assert out.shape == (64, 64, 3)
+    assert (tmp_path / "b.jpg").exists()
+
+    csv = tmp_path / "results.csv"
+    csv.write_text("epoch,train/loss,val/map\n0,5.0,0.1\n1,4.0,0.2\n")
+    png = plot_results(str(csv))
+    assert png and Path(png).exists()
+
+
+def test_coco_converter_polygons_and_rle(tmp_path):
+    import cv2
+
+    from yolo_contour_regression_tpu.data.converter import (
+        convert_coco,
+        mask_to_polygons,
+        rle_to_mask,
+    )
+
+    # uncompressed RLE round trip: column-major runs
+    m = np.zeros((4, 6), np.uint8)
+    m[1:3, 2:5] = 1
+    runs = []
+    flat = m.T.reshape(-1)
+    prev, count = 0, 0
+    for v in flat:
+        if v == prev:
+            count += 1
+        else:
+            runs.append(count)
+            prev, count = v, 1
+    runs.append(count)
+    back = rle_to_mask({"counts": runs, "size": [4, 6]}, 4, 6)
+    np.testing.assert_array_equal(back, m)
+
+    # full convert_coco on a tiny json
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 64, "width": 64}],
+        "annotations": [
+            {
+                "id": 1, "image_id": 1, "category_id": 1, "iscrowd": 0,
+                "bbox": [8, 8, 16, 16],
+                "segmentation": [[8, 8, 24, 8, 24, 24, 8, 24]],
+            }
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    jd = tmp_path / "ann"
+    jd.mkdir()
+    (jd / "instances_val.json").write_text(json.dumps(coco))
+    out = convert_coco(str(jd), save_dir=str(tmp_path / "conv"))
+    txt = Path(out) / "labels" / "val" / "a.txt"
+    assert txt.exists()
+    line = txt.read_text().split()
+    assert line[0] == "0"  # remapped 91->80: category 1 -> class 0
+    vals = np.asarray([float(v) for v in line[1:]]).reshape(-1, 2)
+    assert (vals >= 0).all() and (vals <= 1).all()
+
+
+def test_autobatch_returns_power_of_two():
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.utils.autobatch import check_train_batch_size
+
+    m = build_model(
+        Path(__file__).parent.parent / "yolo_contour_regression_tpu/cfg/models/yolov8-seg.yaml"
+    )
+    m.init(imgsz=64)
+    b = check_train_batch_size(m, imgsz=64)
+    assert b >= 1 and (b & (b - 1)) == 0
+
+
+def test_tuner_mutation_in_bounds():
+    from yolo_contour_regression_tpu.utils.tuner import SPACE, Tuner
+
+    t = Tuner()
+    parent = {k: (lo + hi) / 2 for k, (lo, hi, _) in SPACE.items()}
+    t.history.append((0.5, parent))
+    for _ in range(5):
+        hyp = t._mutate(parent)
+        for k, v in hyp.items():
+            lo, hi, _ = SPACE[k]
+            assert lo <= v <= hi
+
+
+def test_hub_session(tmp_path, monkeypatch):
+    import yolo_contour_regression_tpu.hub.session as hs
+
+    monkeypatch.setattr(hs, "HUB_DIR", tmp_path)
+    s = hs.HubSession("run1")
+    s.dir = tmp_path / "run1"
+    s.dir.mkdir(parents=True, exist_ok=True)
+    s.upload_metrics(0, {"loss": 1.0})
+    s.upload_metrics(1, {"loss": 0.5})
+    s.finish()
+    lines = (s.dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert (s.dir / "done").exists()
+
+
+def test_callbacks_bus():
+    from yolo_contour_regression_tpu.utils.callbacks import get_default_callbacks, run_callbacks
+
+    calls = []
+    inst = SimpleNamespace(callbacks=get_default_callbacks())
+    inst.callbacks["on_train_start"].append(lambda t: calls.append("start"))
+    inst.callbacks["on_train_start"].append(lambda t: 1 / 0)  # must not raise
+    run_callbacks(inst, "on_train_start")
+    assert calls == ["start"]

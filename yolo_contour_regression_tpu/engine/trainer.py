@@ -73,9 +73,20 @@ class BaseTrainer:
         self.metrics: Dict[str, float] = {}
         self.best_fitness = 0.0
         self.start_epoch = 0
+        self.epoch = 0
         self._resume_ckpt = None
+        from ..utils.callbacks import add_integration_callbacks, get_default_callbacks
+
+        self.callbacks = get_default_callbacks()
+        if self.args.plots or self.args.verbose:
+            add_integration_callbacks(self)
         if self.args.resume:
             self._find_resume()
+
+    def run_callbacks(self, event: str):
+        from ..utils.callbacks import run_callbacks
+
+        run_callbacks(self, event)
 
     # -- dataset / model hooks (overridden per task) -----------------------
     def get_data(self):
@@ -177,7 +188,11 @@ class BaseTrainer:
         close_mosaic_at = args.epochs - args.close_mosaic
         data_iter = iter(loader)
         t_train = time.time()
+        self.run_callbacks("on_train_start")
+        first_batch_plotted = False
         for epoch in range(self.start_epoch, args.epochs):
+            self.epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
             if epoch == close_mosaic_at and hasattr(train_set, "close_mosaic"):
                 LOGGER.info("closing mosaic augmentation")
                 train_set.close_mosaic()
@@ -186,6 +201,14 @@ class BaseTrainer:
             for i in range(steps_per_epoch):
                 batch = next(data_iter)
                 images = batch.pop("img")
+                if args.plots and not first_batch_plotted and args.task != "classify":
+                    from ..utils.plotting import plot_images
+
+                    plot_images(
+                        images, batch, fname=str(self.save_dir / "train_batch0.jpg"),
+                        names=data.get("names"),
+                    )
+                    first_batch_plotted = True
                 images_d = shard_batch(mesh, images)
                 batch_d = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, images_d, batch_d)
@@ -217,12 +240,20 @@ class BaseTrainer:
             if fitness >= self.best_fitness:
                 self.best_fitness = fitness
             self._write_csv(epoch, log)
+            self.label_loss_items = {k: v for k, v in log.items() if k.startswith("train/")}
+            self.run_callbacks("on_fit_epoch_end")
             if args.save and jax.process_index() == 0:
                 self._save(state, epoch, fitness)
+                self.run_callbacks("on_model_save")
             if stopper(epoch, fitness):
                 LOGGER.info(f"early stopping at epoch {epoch + 1} (patience {args.patience})")
                 break
 
+        self.run_callbacks("on_train_end")
+        if args.plots and self.csv.exists():
+            from ..utils.plotting import plot_results
+
+            plot_results(str(self.csv))
         LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f} h")
         if args.save and (self.wdir / "best.ckpt").exists():
             strip_optimizer(self.wdir / "best.ckpt")
