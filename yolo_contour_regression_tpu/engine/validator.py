@@ -29,7 +29,7 @@ from ..data.utils import check_cls_dataset, check_det_dataset
 from ..nn.tasks import build_model
 from ..ops.boxes import box_iou, xywh2xyxy
 from ..ops.nms import non_max_suppression
-from ..ops.raster import fill_polygons
+from ..ops.pallas_raster import fill_polygons_fast as fill_polygons
 from ..utils import LOGGER
 from ..utils.metrics import (
     ClassifyMetrics,
