@@ -61,6 +61,29 @@ TASK_MAP: Dict[str, Dict[str, Any]] = {
 }
 
 
+def _register_rtdetr():
+    from ..models.rtdetr.predict import RTDETRPredictor
+    from ..models.rtdetr.val import RTDETRValidator
+    from .trainer import BaseTrainer
+
+    class RTDETRTrainer(BaseTrainer):
+        task = "rtdetr"
+
+        def get_validator(self):
+            from copy import copy
+
+            return RTDETRValidator(args=copy(self.args))
+
+    TASK_MAP["rtdetr"] = {
+        "trainer": RTDETRTrainer,
+        "validator": RTDETRValidator,
+        "predictor": RTDETRPredictor,
+    }
+
+
+_register_rtdetr()
+
+
 class YOLO:
     """User-facing model handle."""
 

@@ -63,6 +63,11 @@ def make_loss_fn(model, hyp, cand: int = 128) -> Callable:
             res = classification_loss(out, batch)
         elif task == "pose":
             res = pose_loss(out, batch, model.strides, model.nc, hyp, model.kpt_shape, model.reg_max)
+        elif task == "rtdetr":
+            from ..models.utils.loss import rtdetr_loss
+
+            total, items = rtdetr_loss(out, batch, model.nc)
+            return total, (items, new_stats)
         else:
             res = detection_loss(out, batch, model.strides, model.nc, hyp, model.reg_max)
         return res.total, (res.items, new_stats)

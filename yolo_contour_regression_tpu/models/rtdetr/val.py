@@ -1,0 +1,64 @@
+"""RT-DETR validator (reference models/rtdetr/val.py): box mAP without NMS —
+all nq queries scored directly."""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...data.utils import check_det_dataset
+from ...engine.validator import BaseValidator
+from ...ops.boxes import box_iou, xywh2xyxy
+from ...utils import LOGGER
+from ...utils.metrics import DetMetrics, match_predictions
+
+
+class RTDETRValidator(BaseValidator):
+    task = "rtdetr"
+
+    def __call__(self, model=None, variables=None, data=None, loader=None) -> Dict[str, float]:
+        args = self.args
+        if isinstance(data, (str, Path)):
+            data = check_det_dataset(data)
+        if loader is None:
+            loader = self.build_loader(data)
+        metrics = DetMetrics(names=getattr(model, "names", {}))
+        imgsz = args.imgsz
+
+        @jax.jit
+        def eval_fn(variables, images, gt_bboxes):
+            pred = model.predict(variables, images)  # (B, nq, 4+nc) cxcywh norm
+            boxes = xywh2xyxy(pred[..., :4]) * imgsz
+            scores = pred[..., 4:]
+            gt_xyxy = xywh2xyxy(gt_bboxes) * imgsz
+            ious = jax.vmap(box_iou)(gt_xyxy, boxes)
+            return boxes, scores, ious
+
+        t0 = time.time()
+        n_img = 0
+        for batch in loader:
+            images = jnp.asarray(batch["img"])
+            boxes, scores, ious = (
+                np.asarray(v) for v in eval_fn(variables, images, jnp.asarray(batch["bboxes"]))
+            )
+            for bi in range(images.shape[0]):
+                conf = scores[bi].max(-1)
+                cls = scores[bi].argmax(-1)
+                keep = conf >= args.conf
+                gt_keep = batch["mask_gt"][bi]
+                tp = match_predictions(
+                    cls[keep], batch["cls"][bi][gt_keep], ious[bi][gt_keep][:, keep]
+                )
+                metrics.box.update(tp, conf[keep], cls[keep], batch["cls"][bi][gt_keep])
+            n_img += images.shape[0]
+        metrics.process()
+        res = metrics.results_dict
+        LOGGER.info(
+            f"val(rtdetr): {n_img} imgs  box mAP50-95 {res['metrics/mAP50-95(B)']:.4f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        return res

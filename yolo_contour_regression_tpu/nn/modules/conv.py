@@ -170,8 +170,26 @@ class Conv2(nn.Module):
         return get_act(self.act)(y)
 
 
-class DWConv(Conv):
-    """Depthwise conv: groups = gcd(c1, c2); we set g at construction time."""
+class DWConv(nn.Module):
+    """Depthwise conv: groups = gcd(c1, c2) (reference conv.py:106 — note its
+    positional signature is (c2, k, s, d, act), no p/g)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _math
+
+        g = _math.gcd(x.shape[-1], self.c2)
+        return Conv(
+            self.c2, self.k, self.s, None, g, self.d, self.act, dtype=self.dtype,
+            name="dw",
+        )(x, train)
 
 
 class LightConv(nn.Module):

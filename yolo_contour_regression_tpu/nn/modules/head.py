@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from typing import Any, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -228,6 +229,108 @@ class Classify(nn.Module):
         x = nn.Dropout(0.0, deterministic=not train)(x)
         x = nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
         return nn.sigmoid(x)
+
+
+class RTDETRDecoder(nn.Module):
+    """RT-DETR decoder head (reference head.py:825-1017 RTDETRDecoder):
+    per-level 1x1 projection -> flattened multi-scale tokens -> encoder head
+    with top-nq query selection from grid anchors -> deformable-attention
+    decoder stack with iterative box refinement.
+
+    Eval output: (B, nq, 4 + nc) — normalized cxcywh + sigmoid scores.
+    Training returns (dec_bboxes, dec_scores, enc_bboxes, enc_scores) for the
+    Hungarian criterion (contrastive denoising groups land with the RT-DETR
+    trainer; see models/rtdetr)."""
+
+    nc: int = 80
+    hd: int = 256
+    nq: int = 300
+    ndp: int = 4
+    nh: int = 8
+    ndl: int = 6
+    d_ffn: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        from .transformer import (
+            MLP,
+            DeformableTransformerDecoderLayer,
+            inverse_sigmoid,
+        )
+
+        nl = len(feats)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        B = feats[0].shape[0]
+
+        # per-level projection to hidden dim (conv 1x1 + BN)
+        tokens = []
+        for i, f in enumerate(feats):
+            p = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj{i}")(f)
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                             dtype=self.dtype, name=f"input_proj_bn{i}")(p)
+            tokens.append(p.reshape(B, -1, self.hd))
+        feats_flat = jnp.concatenate(tokens, axis=1)  # (B, V, hd)
+
+        # grid anchors in logit space (reference _generate_anchors, grid 0.05*2^i)
+        anchors, valid = [], []
+        for i, (h, w) in enumerate(shapes):
+            gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
+            # NOTE reference divides by valid_WH=[h, w] -- x by h, y by w; this
+            # is a bug for non-square maps; we normalize correctly (x/w, y/h)
+            xy = jnp.stack([(gx + 0.5) / w, (gy + 0.5) / h], -1).reshape(-1, 2)
+            wh = jnp.full_like(xy, 0.05 * (2.0**i))
+            anchors.append(jnp.concatenate([xy, wh], -1))
+        anchors = jnp.concatenate(anchors, 0)[None]  # (1, V, 4)
+        valid_mask = ((anchors > 1e-2) & (anchors < 1 - 1e-2)).all(-1, keepdims=True)
+        anchors_logit = jnp.where(valid_mask, inverse_sigmoid(anchors), jnp.inf)
+
+        # encoder head + top-nq query selection
+        enc_feats = nn.LayerNorm(name="enc_output_ln")(
+            nn.Dense(self.hd, dtype=self.dtype, name="enc_output")(feats_flat * valid_mask)
+        )
+        enc_scores_all = nn.Dense(self.nc, dtype=self.dtype, name="enc_score_head")(enc_feats)
+        nq = min(self.nq, enc_scores_all.shape[1])  # tiny-image graceful cap
+        topk_val, topk_ind = jax.lax.top_k(enc_scores_all.max(-1), nq)  # (B, nq)
+        top_feats = jnp.take_along_axis(enc_feats, topk_ind[..., None], axis=1)
+        top_anchors = jnp.take_along_axis(
+            jnp.broadcast_to(anchors_logit, (B,) + anchors_logit.shape[1:]),
+            topk_ind[..., None], axis=1,
+        )
+        refer_logit = MLP(self.hd, 4, 3, dtype=self.dtype, name="enc_bbox_head")(top_feats) + top_anchors
+        enc_bboxes = nn.sigmoid(refer_logit)
+        enc_scores = jnp.take_along_axis(enc_scores_all, topk_ind[..., None], axis=1)
+
+        embed = jax.lax.stop_gradient(top_feats) if train else top_feats
+        refer = jax.lax.stop_gradient(refer_logit) if train else refer_logit
+        refer = nn.sigmoid(refer)
+
+        dec_bboxes, dec_scores = [], []
+        query_pos_head = MLP(2 * self.hd, self.hd, 2, dtype=self.dtype, name="query_pos_head")
+        for i in range(self.ndl):
+            embed = DeformableTransformerDecoderLayer(
+                self.hd, self.nh, self.d_ffn, nl, self.ndp, dtype=self.dtype,
+                name=f"dec_layer{i}",
+            )(embed, refer, feats_flat, shapes, query_pos=query_pos_head(refer))
+            delta = MLP(self.hd, 4, 3, dtype=self.dtype, name=f"dec_bbox_head{i}")(embed)
+            refined = nn.sigmoid(delta + inverse_sigmoid(refer))
+            # score head applied every layer so train/eval share one param
+            # structure (eval keeps only the last; XLA DCEs the rest)
+            score_i = nn.Dense(self.nc, dtype=self.dtype, name=f"dec_score_head{i}")(embed)
+            if train:
+                dec_scores.append(score_i)
+                dec_bboxes.append(refined)
+                refer = jax.lax.stop_gradient(refined)
+            else:
+                if i == self.ndl - 1:
+                    dec_scores.append(score_i)
+                    dec_bboxes.append(refined)
+                refer = refined
+        if train:
+            return (
+                jnp.stack(dec_bboxes), jnp.stack(dec_scores), enc_bboxes, enc_scores,
+            )
+        return jnp.concatenate([dec_bboxes[-1], nn.sigmoid(dec_scores[-1])], -1)  # (B, nq, 4+nc)
 
 
 def init_head_biases(params: dict, head_name: str, strides: Sequence[int], nc: int, polar: bool):

@@ -37,7 +37,7 @@ from .modules import head as head_mod
 REGISTRY: Dict[str, Tuple[Any, Tuple[str, ...], str]] = {
     "Conv": (conv_mod.Conv, ("c2", "k", "s", "p", "g", "d", "act"), "conv"),
     "Conv2": (conv_mod.Conv2, ("c2", "k", "s", "p", "g", "d", "act"), "conv"),
-    "DWConv": (conv_mod.DWConv, ("c2", "k", "s", "p", "g", "d", "act"), "conv"),
+    "DWConv": (conv_mod.DWConv, ("c2", "k", "s", "d", "act"), "conv"),
     "ConvTranspose": (conv_mod.ConvTranspose, ("c2", "k", "s", "p", "bn", "act"), "conv"),
     "Focus": (conv_mod.Focus, ("c2", "k", "s", "p", "act"), "conv"),
     "GhostConv": (conv_mod.GhostConv, ("c2", "k", "s", "g", "act"), "conv"),
@@ -60,6 +60,9 @@ REGISTRY: Dict[str, Tuple[Any, Tuple[str, ...], str]] = {
     "HGBlock": (block_mod.HGBlock, ("cm", "c2", "k", "n", "lightconv", "shortcut", "act"), "hg"),
     "Concat": (conv_mod.Concat, ("axis",), "concat"),
     "nn.Upsample": (None, (), "upsample"),
+    "AIFI": (None, ("cm", "num_heads"), "aifi"),  # class bound lazily (circular import)
+    "TransformerBlock": (None, ("c2", "num_heads", "num_layers"), "transformer_block"),
+    "RTDETRDecoder": (None, ("nc",), "head"),
     # Heads. 'Segment' is the polar head — the canonical trained config
     # (SURVEY.md §0.1); the stock proto-mask head is 'Segmentori'.
     "Segment": (head_mod.PolarSegment, ("nc", "nm", "npr"), "head"),
@@ -75,6 +78,7 @@ HEAD_TASKS = {
     "Detect": "detect",
     "Pose": "pose",
     "Classify": "classify",
+    "RTDETRDecoder": "rtdetr",
 }
 
 
@@ -122,6 +126,13 @@ def parse_model(cfg: dict, ch: int = 3, verbose: bool = False):
 
     for i, (f, n, name, args) in enumerate(list(cfg["backbone"]) + list(cfg["head"])):
         args = list(args)
+        # normalize negative from-indices (-2 etc.) to absolute layer ids,
+        # keeping -1 = previous output (reference keeps them relative and
+        # indexes a full outputs list; we only keep saved outputs)
+        if isinstance(f, int):
+            f = f if f == -1 else f % i
+        else:
+            f = [x if x == -1 else x % i for x in f]
         for j, a in enumerate(args):
             if isinstance(a, str):
                 if a == "nc":
@@ -161,6 +172,16 @@ def parse_model(cfg: dict, ch: int = 3, verbose: bool = False):
             c2 = chs[f]
             kwargs["scale"] = args[1] if len(args) > 1 else 2
             kwargs["mode"] = args[2] if len(args) > 2 else "nearest"
+        elif kind == "aifi":
+            c2 = chs[f]
+            for fname, v in zip(fields, args):
+                kwargs[fname] = v
+        elif kind == "transformer_block":
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            vals = [c2] + args[1:2] + [n]
+            n = 1
+            for fname, v in zip(fields, vals):
+                kwargs[fname] = v
         elif kind in ("head", "classify_head"):
             for fname, v in zip(fields, args):
                 kwargs[fname] = v
@@ -192,6 +213,12 @@ def _build_module(spec: LayerSpec, dtype, name: str):
     kwargs = {k: v for k, v in spec.kwargs.items() if not k.startswith("_")}
     if kind == "upsample":
         return None
+    if cls is None:  # lazily-bound transformer classes (circular import)
+        from .modules import head as _head
+        from .modules import transformer as _tr
+
+        cls = {"AIFI": _tr.AIFI, "TransformerBlock": _tr.TransformerBlock,
+               "RTDETRDecoder": _head.RTDETRDecoder}[spec.name]
     if "dtype" in cls.__dataclass_fields__:
         kwargs["dtype"] = dtype
     if spec.name == "Pose" and "kpt_shape" in kwargs:
@@ -457,12 +484,27 @@ class ClassificationModel(BaseModel):
         return outs  # already (B, nc) sigmoid probs
 
 
+class RTDETRDetectionModel(BaseModel):
+    """RT-DETR model (reference nn/tasks.py:414 RTDETRDetectionModel): eval
+    head output is already decoded (B, nq, 4+nc) normalized cxcywh + sigmoid
+    scores — no anchors, no NMS."""
+
+    task = "rtdetr"
+
+    def _calibrate_strides(self, imgsz: int = 256):
+        return (8, 16, 32)  # decoder head; strides only used for logging
+
+    def decode(self, outs):
+        return outs  # (B, nq, 4+nc)
+
+
 TASK_MODELS = {
     "segment": SegmentationModel,
     "segment_ori": SegmentationOriModel,
     "detect": DetectionModel,
     "pose": PoseModel,
     "classify": ClassificationModel,
+    "rtdetr": RTDETRDetectionModel,
 }
 
 
