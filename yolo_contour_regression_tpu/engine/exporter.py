@@ -151,6 +151,25 @@ class Exporter:
         return str(path)
 
 
+def dump_prediction(pred, nc: int, height: int, width: int, path: str,
+                    conf: float = 0.25, iou: float = 0.7):
+    """Write one image's raw prediction tensor in the C++ demo's binary
+    format (examples/polar-seg-cpp/main.cpp): header int32[nc, A, h, w] +
+    float32[conf, iou] + channel-major float32 prediction."""
+    import struct
+
+    pred = np.asarray(pred, np.float32)
+    if pred.ndim == 3:
+        pred = pred[0]
+    C, A = pred.shape
+    assert C == 4 + nc + 108, f"expected polar layout, got C={C} nc={nc}"
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<iiii", nc, A, height, width))
+        fh.write(struct.pack("<ff", conf, iou))
+        fh.write(pred.tobytes())
+    return path
+
+
 def load_stablehlo(path: str, weights_path: Optional[str] = None):
     """Reload an exported artifact: returns fn(x) -> outputs."""
     import pickle
