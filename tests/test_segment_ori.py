@@ -1,0 +1,44 @@
+"""Proto-mask (segment_ori) task: model forward + loss + grads."""
+import math
+from pathlib import Path
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_contour_regression_tpu.nn.tasks import build_model
+from yolo_contour_regression_tpu.utils.loss import segmentation_ori_loss
+
+CFG = Path(__file__).parent.parent / "yolo_contour_regression_tpu/cfg/models"
+HYP = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+
+
+def test_segment_ori_forward_and_loss():
+    m = build_model(CFG / "yolov8-segori.yaml")
+    assert m.task == "segment_ori"
+    v = m.init(imgsz=64)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    levels, proto = m.raw_forward(v, x)
+    assert proto.shape[-1] == 32 and len(levels) == 3
+
+    t = np.linspace(0, 2 * math.pi, 360, endpoint=False)
+    contour = np.stack([0.5 + 0.2 * np.cos(t), 0.5 + 0.2 * np.sin(t)], -1).astype(np.float32)
+    batch = {
+        "cls": jnp.zeros((1, 4), jnp.int32),
+        "bboxes": jnp.zeros((1, 4, 4)).at[0, 0].set(jnp.asarray([0.5, 0.5, 0.4, 0.4])),
+        "segments": jnp.zeros((1, 4, 360, 2)).at[0, 0].set(jnp.asarray(contour)),
+        "mask_gt": jnp.zeros((1, 4), bool).at[0, 0].set(True),
+    }
+
+    def loss_fn(params):
+        outs, _ = m.raw_forward({**v, "params": params}, x, train=True)
+        return segmentation_ori_loss(outs, batch, m.strides, m.nc, HYP, nm=32).total
+
+    total, grads = jax.value_and_grad(loss_fn)(v["params"])
+    assert np.isfinite(float(total))
+    gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert gsum > 0 and np.isfinite(gsum)
+    # proto branch receives gradient
+    head = [k for k in grads if k.startswith("layer")][-1]
+    assert any("proto" in k for k in grads[f"layer{m.head_index}"])

@@ -63,6 +63,13 @@ def make_loss_fn(model, hyp, cand: int = 128) -> Callable:
             res = classification_loss(out, batch)
         elif task == "pose":
             res = pose_loss(out, batch, model.strides, model.nc, hyp, model.kpt_shape, model.reg_max)
+        elif task == "segment_ori":
+            from ..utils.loss import segmentation_ori_loss
+
+            res = segmentation_ori_loss(
+                out, batch, model.strides, model.nc, hyp,
+                nm=model.head_spec.kwargs.get("nm", 32), reg_max=model.reg_max,
+            )
         elif task == "rtdetr":
             from ..models.utils.loss import rtdetr_loss
 

@@ -269,6 +269,103 @@ def pose_loss(
     return LossOut(total, items)
 
 
+def segmentation_ori_loss(
+    outs,  # ([per-level (B,H,W,4*reg_max+nc+nm)], proto (B,hp,wp,nm))
+    batch: Dict[str, jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    hyp,
+    nm: int = 32,
+    reg_max: int = 16,
+    max_fg: int = 64,
+) -> LossOut:
+    """Stock prototype-mask segmentation loss (reference oriv8SegmentationLoss
+    loss.py:886-1015): detect losses + per-instance mask BCE of
+    (proto @ coeffs) against the GT mask, cropped to the target box and
+    normalized by its area.
+
+    TPU-shape discipline: instead of the reference's ragged fg gather, the
+    top-`max_fg` assigned anchors per image (by target score) carry the mask
+    loss — exact whenever fg count <= max_fg. GT masks come from the 360-pt
+    contours rasterized on device at proto resolution."""
+    levels, proto = outs
+    B = levels[0].shape[0]
+    dt = jnp.float32
+    det_feats = [o[..., : o.shape[-1] - nm] for o in levels]
+    det = detection_loss(det_feats, batch, strides, nc, hyp, reg_max)
+
+    x = flatten_levels(det_feats).astype(dt)
+    pred_dist, pred_scores = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    mc = flatten_levels([o[..., -nm:] for o in levels]).astype(dt)  # (B, A, nm)
+    feat_hw = [(f.shape[1], f.shape[2]) for f in det_feats]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=dt)
+    img_h = feat_hw[0][0] * strides[0]
+    img_w = feat_hw[0][1] * strides[0]
+
+    b, a, _ = pred_dist.shape
+    probs = jax.nn.softmax(pred_dist.reshape(b, a, 4, reg_max), axis=-1)
+    ltrb = jnp.einsum("bakr,r->bak", probs, jnp.arange(reg_max, dtype=dt))
+    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)
+    scale4 = jnp.asarray([img_w, img_h, img_w, img_h], dt)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dt) * scale4)
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes * stride_t[None]),
+        anchor_points * stride_t,
+        batch["cls"].astype(jnp.int32),
+        gt_bboxes,
+        batch["mask_gt"].astype(bool),
+        alpha=0.5, beta=6.0, topk=10,
+    )
+    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+
+    hp, wp = proto.shape[1], proto.shape[2]
+    # GT masks at proto resolution from the 360-pt contours
+    from ..ops.raster import fill_polygons
+
+    gt_pts = batch["segments"].astype(dt) * jnp.asarray([wp, hp], dt)
+    gmask_valid = jnp.broadcast_to(
+        batch["mask_gt"].astype(bool)[..., None], gt_pts.shape[:-1]
+    )
+    gt_masks = jax.vmap(lambda p, v: fill_polygons(p, v, hp, wp))(
+        gt_pts, gmask_valid
+    ).astype(dt)  # (B, N, hp, wp)
+
+    # select top-max_fg fg anchors per image
+    fg_score = assign.target_scores.sum(-1) * assign.fg_mask  # (B, A)
+    K = min(max_fg, fg_score.shape[1])
+    topv, topi = jax.lax.top_k(fg_score, K)  # (B, K)
+    sel_mc = jnp.take_along_axis(mc, topi[..., None], axis=1)  # (B, K, nm)
+    sel_gt_idx = jnp.take_along_axis(assign.target_gt_idx, topi, axis=1)  # (B, K)
+    sel_fg = jnp.take_along_axis(assign.fg_mask, topi, axis=1) & (topv > 0)
+    sel_boxes = jnp.take_along_axis(assign.target_bboxes, topi[..., None], axis=1)
+    sel_gt_masks = jnp.take_along_axis(
+        gt_masks, sel_gt_idx[..., None, None], axis=1
+    )  # (B, K, hp, wp)
+
+    pred_masks = jnp.einsum("bkm,bhwm->bkhw", sel_mc, proto.astype(dt))
+    bce = optax.sigmoid_binary_cross_entropy(pred_masks, sel_gt_masks)
+
+    # crop to target box at proto scale (reference crop_mask ops.py:696)
+    bx = sel_boxes * jnp.asarray([wp / img_w, hp / img_h, wp / img_w, hp / img_h], dt)
+    py = jnp.arange(hp, dtype=dt)[None, None, :, None]
+    px = jnp.arange(wp, dtype=dt)[None, None, None, :]
+    inbox = (
+        (px >= bx[..., 0, None, None]) & (px < bx[..., 2, None, None])
+        & (py >= bx[..., 1, None, None]) & (py < bx[..., 3, None, None])
+    )
+    area = jnp.clip(
+        (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1]), 1.0, None
+    )
+    per_inst = (bce * inbox).sum((-2, -1)) / area  # (B, K)
+    loss_mask = (per_inst * sel_fg).sum() / jnp.maximum(sel_fg.sum(), 1.0)
+
+    total = det.total + loss_mask * hyp.box * B
+    items = dict(det.items)
+    items["mask_loss"] = loss_mask * hyp.box
+    return LossOut(total, items)
+
+
 def classification_loss(preds: jnp.ndarray, batch: Dict[str, jnp.ndarray]) -> LossOut:
     """CE summed / 64 (reference v8ClassificationLoss loss.py:1107). The fork's
     Classify head outputs sigmoid probs; CE computed on their log."""
