@@ -1,0 +1,108 @@
+"""AutoBackend — uniform inference across artifact formats.
+
+Re-implementation of the reference ``nn/autobackend.py`` (493 LoC): one
+``forward(im)`` over whatever artifact the user hands in, detected by suffix:
+
+  - ``.ckpt``      native checkpoint -> fused jitted predict
+  - ``.yaml``      fresh model (random weights) -> jitted predict
+  - ``.stablehlo`` jax.export artifact (+ sibling .weights.pkl)
+  - ``_saved_model`` / ``.tflite``  TF artifacts (gated on tensorflow)
+
+The reference's ONNX/TensorRT/CoreML/paddle/ncnn/triton branches have no
+TPU-image equivalent and raise informative errors.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..utils import LOGGER
+
+
+class AutoBackend:
+    def __init__(self, weights: str, fuse: bool = True):
+        self.path = str(weights)
+        p = Path(self.path)
+        self.metadata: Dict = {}
+        suffix = p.suffix.lower()
+        self.fmt = (
+            "saved_model" if p.name.endswith("_saved_model") or (p / "saved_model.pb").exists()
+            else {".ckpt": "ckpt", ".yaml": "yaml", ".yml": "yaml",
+                  ".stablehlo": "stablehlo", ".tflite": "tflite"}.get(suffix)
+        )
+        if self.fmt is None:
+            raise ValueError(
+                f"unsupported artifact '{weights}' — supported: .ckpt, .yaml, "
+                ".stablehlo, _saved_model dir, .tflite (onnx/tensorrt/coreml "
+                "have no backend in this environment)"
+            )
+        meta_path = p.with_suffix("").with_suffix("") if suffix else p
+        for cand in (p.parent / f"{p.stem}.metadata.json", Path(str(p) + ".metadata.json")):
+            if cand.exists():
+                import json
+
+                self.metadata = json.loads(cand.read_text())
+                break
+        getattr(self, f"_init_{self.fmt}")()
+        LOGGER.info(f"AutoBackend: {self.fmt} <- {weights}")
+
+    # -- per-format init ----------------------------------------------------
+    def _init_ckpt(self):
+        from ..engine.model import YOLO
+        from ..nn.fuse import fuse_variables
+
+        handle = YOLO(self.path)
+        variables, model = fuse_variables(handle.model, handle.variables)
+        self.names = handle.names
+        import jax
+
+        self._fn = jax.jit(lambda x: model.predict(variables, x))
+
+    def _init_yaml(self):
+        import jax
+
+        from ..nn.tasks import build_model
+
+        model = build_model(self.path)
+        variables = model.init()
+        self.names = model.names
+        self._fn = jax.jit(lambda x: model.predict(variables, x))
+
+    def _init_stablehlo(self):
+        from ..engine.exporter import load_stablehlo
+
+        self._fn = load_stablehlo(self.path)
+        self.names = self.metadata.get("names", {})
+
+    def _init_saved_model(self):
+        import tensorflow as tf
+
+        self._tf = tf.saved_model.load(self.path)
+        self._fn = lambda x: np.asarray(self._tf.f(tf.constant(np.asarray(x))))
+        self.names = self.metadata.get("names", {})
+
+    def _init_tflite(self):
+        import tensorflow as tf
+
+        interp = tf.lite.Interpreter(model_path=self.path)
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        outs = interp.get_output_details()
+
+        def fn(x):
+            interp.set_tensor(inp["index"], np.asarray(x, np.float32))
+            interp.invoke()
+            res = [interp.get_tensor(o["index"]) for o in outs]
+            return res[0] if len(res) == 1 else res
+
+        self._fn = fn
+        self.names = self.metadata.get("names", {})
+
+    # -- uniform forward ------------------------------------------------------
+    def forward(self, im):
+        """im (B, H, W, 3) float32 RGB in [0,1] -> prediction tensor."""
+        return self._fn(im)
+
+    __call__ = forward
