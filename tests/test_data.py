@@ -113,3 +113,38 @@ def test_loader_infinite_and_sharded(dataset_dir):
     it = iter(loader)
     seen = [next(it) for _ in range(4)]  # crosses an epoch boundary (3 imgs/host)
     assert all(b["img"].shape == (2, 64, 64, 3) for b in seen)
+
+
+def test_pose_keypoint_labels(tmp_path):
+    """Pose-format label parsing + keypoint geometry through the pipeline."""
+    import cv2
+
+    from yolo_contour_regression_tpu.data.dataset import YOLODataset
+
+    (tmp_path / "images/train").mkdir(parents=True)
+    (tmp_path / "labels/train").mkdir(parents=True)
+    img = np.full((64, 64, 3), 90, np.uint8)
+    cv2.imwrite(str(tmp_path / "images/train/0.jpg"), img)
+    # box + 3 keypoints with visibility
+    kpts = "0.4 0.4 2 0.5 0.5 2 0.6 0.6 1"
+    (tmp_path / "labels/train/0.txt").write_text(f"0 0.5 0.5 0.4 0.4 {kpts}\n")
+    ds = YOLODataset(
+        tmp_path / "images/train", imgsz=64, augment=False, max_instances=4,
+        kpt_shape=(3, 3), cache=False,
+    )
+    s = ds[0]
+    assert "keypoints" in s and s["keypoints"].shape == (4, 3, 3)
+    k = s["keypoints"][0]
+    assert abs(k[1, 0] - 0.5) < 0.05 and abs(k[1, 1] - 0.5) < 0.05
+    assert k[0, 2] == 2 and k[2, 2] == 1
+
+    # fliplr mirrors x
+    from yolo_contour_regression_tpu.data.instance import Instances
+
+    inst = Instances(
+        np.zeros(1), np.array([[10, 10, 30, 30]], np.float32),
+        np.zeros((1, 360, 2), np.float32),
+        np.array([[[20.0, 20.0, 2.0]]], np.float32),
+    )
+    inst.fliplr(64)
+    np.testing.assert_allclose(inst.keypoints[0, 0], [44, 20, 2])

@@ -158,6 +158,18 @@ def random_perspective(
         else:
             warped = warped[:, :2]
         inst.segments = warped.reshape(n, -1, 2)
+        if inst.keypoints is not None:
+            kxy = inst.keypoints[..., :2].reshape(-1, 2)
+            ok = np.concatenate([kxy, np.ones((kxy.shape[0], 1), np.float32)], 1) @ M.T.astype(np.float32)
+            ok = (ok[:, :2] / ok[:, 2:3]) if perspective else ok[:, :2]
+            kw = inst.keypoints.shape[1]
+            inst.keypoints[..., :2] = ok.reshape(n, kw, 2)
+            # zero visibility for kpts warped out of frame (reference augment.py:398)
+            out_of = (
+                (inst.keypoints[..., 0] < 0) | (inst.keypoints[..., 0] > width)
+                | (inst.keypoints[..., 1] < 0) | (inst.keypoints[..., 1] > height)
+            )
+            inst.keypoints[..., 2] = np.where(out_of, 0.0, inst.keypoints[..., 2])
         inst.segments[..., 0] = inst.segments[..., 0].clip(0, width)
         inst.segments[..., 1] = inst.segments[..., 1].clip(0, height)
         inst.sync_boxes_from_segments()
@@ -262,13 +274,22 @@ def format_sample(s: Sample, max_instances: int) -> Dict[str, np.ndarray]:
         segments[:n] = inst.segments[:n] / np.array([w, h], np.float32)
         mask[:n] = True
     img = cv2.cvtColor(s.img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-    return {
+    out = {
         "img": img,
         "cls": cls,
         "bboxes": bboxes,
         "segments": segments,
         "mask_gt": mask,
     }
+    if s.inst.keypoints is not None:
+        K = s.inst.keypoints.shape[1]
+        kpts = np.zeros((max_instances, K, 3), np.float32)
+        if n:
+            kpts[:n] = s.inst.keypoints[:n]
+            kpts[:n, :, 0] /= w
+            kpts[:n, :, 1] /= h
+        out["keypoints"] = kpts
+    return out
 
 
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -128,6 +128,7 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         single_cls=getattr(cfg, "single_cls", False),
         fraction=getattr(cfg, "fraction", 1.0) if mode == "train" else 1.0,
         seed=getattr(cfg, "seed", 0),
+        kpt_shape=data.get("kpt_shape") if cfg.task == "pose" else None,
     )
 
 

@@ -37,11 +37,18 @@ def img2label_path(img_path: str) -> str:
     return sb.join(img_path.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
 
 
-def parse_label_file(path: str, nc: Optional[int] = None):
-    """YOLO txt -> (cls (n,), bboxes xywh-norm (n,4), segments (n,360,2) norm).
-    5 numbers = box line; >5 = class + polygon (reference verify_image_label
-    data/utils.py:64)."""
-    cls, boxes, segs = [], [], []
+def parse_label_file(path: str, nc: Optional[int] = None, kpt_shape=None):
+    """YOLO txt -> (cls (n,), bboxes xywh-norm (n,4), segments (n,360,2) norm
+    [, keypoints (n, K, 3)]).
+
+    Line formats (reference verify_image_label data/utils.py:64):
+      - 5 numbers: class + xywh box
+      - 5 + K*2 or K*3 with kpt_shape set: box + keypoints (pose datasets)
+      - >5 numbers otherwise: class + polygon
+    """
+    cls, boxes, segs, kpts = [], [], [], []
+    nk = kpt_shape[0] if kpt_shape else 0
+    nd = kpt_shape[1] if kpt_shape else 0
     if os.path.isfile(path):
         with open(path) as fh:
             for line in fh:
@@ -52,23 +59,35 @@ def parse_label_file(path: str, nc: Optional[int] = None):
                 if nc is not None and c >= nc:
                     continue
                 vals = np.asarray([float(v) for v in parts[1:]], np.float32)
-                if len(vals) == 4:
+                if kpt_shape and len(vals) == 4 + nk * nd:
+                    cls.append(c)
+                    boxes.append(vals[:4])
+                    segs.append(np.zeros((NUM_CONTOUR_POINTS, 2), np.float32))
+                    k = vals[4:].reshape(nk, nd)
+                    if nd == 2:  # add implicit full visibility
+                        k = np.concatenate([k, np.ones((nk, 1), np.float32)], -1)
+                    kpts.append(k)
+                elif len(vals) == 4:
                     cls.append(c)
                     boxes.append(vals)
                     segs.append(np.zeros((NUM_CONTOUR_POINTS, 2), np.float32))
+                    kpts.append(np.zeros((max(nk, 1), 3), np.float32))
                 else:
                     poly = vals.reshape(-1, 2)
                     seg = resample_segment(poly)
                     cls.append(c)
                     boxes.append(segments2boxes(seg[None])[0])
                     segs.append(seg)
+                    kpts.append(np.zeros((max(nk, 1), 3), np.float32))
     if not cls:
-        return (
+        out = (
             np.zeros((0,), np.int32),
             np.zeros((0, 4), np.float32),
             np.zeros((0, NUM_CONTOUR_POINTS, 2), np.float32),
         )
-    return np.asarray(cls, np.int32), np.stack(boxes), np.stack(segs)
+        return out + ((np.zeros((0, max(nk, 1), 3), np.float32),) if kpt_shape else ())
+    out = (np.asarray(cls, np.int32), np.stack(boxes), np.stack(segs))
+    return out + ((np.stack(kpts),) if kpt_shape else ())
 
 
 class YOLODataset:
@@ -87,7 +106,9 @@ class YOLODataset:
         rect: bool = False,
         seed: int = 0,
         cache: bool = True,
+        kpt_shape=None,
     ):
+        self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
@@ -138,10 +159,14 @@ class YOLODataset:
                 pass
         labels = []
         for f in self.im_files:
-            c, b, s = parse_label_file(img2label_path(f))
+            parsed = parse_label_file(img2label_path(f), kpt_shape=self.kpt_shape)
+            c, b, s = parsed[:3]
             if self.single_cls:
                 c = np.zeros_like(c)
-            labels.append({"cls": c, "bboxes": b, "segments": s})
+            lab = {"cls": c, "bboxes": b, "segments": s}
+            if self.kpt_shape:
+                lab["keypoints"] = parsed[3]
+            labels.append(lab)
         if cache:
             try:
                 np.savez_compressed(cpath, labels=np.asarray(labels, dtype=object))
@@ -165,7 +190,12 @@ class YOLODataset:
         xywh = lab["bboxes"] * np.array([w, h, w, h], np.float32)
         xyxy = np.concatenate([xywh[:, :2] - xywh[:, 2:] / 2, xywh[:, :2] + xywh[:, 2:] / 2], -1)
         segs = lab["segments"] * np.array([w, h], np.float32)
-        return Sample(img, Instances(lab["cls"].astype(np.float32), xyxy, segs))
+        kpts = None
+        if self.kpt_shape and "keypoints" in lab:
+            kpts = lab["keypoints"].copy()
+            kpts[..., 0] *= w
+            kpts[..., 1] *= h
+        return Sample(img, Instances(lab["cls"].astype(np.float32), xyxy, segs, kpts))
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         if self.augment and self.hyp is not None:

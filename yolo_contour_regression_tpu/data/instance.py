@@ -39,44 +39,60 @@ def segments2boxes(segments: np.ndarray) -> np.ndarray:
 
 
 class Instances:
-    """cls (N,), bboxes (N,4) xyxy, segments (N,360,2) — all in pixel space."""
+    """cls (N,), bboxes (N,4) xyxy, segments (N,360,2), optional keypoints
+    (N, K, 3) — all in pixel space (visibility untouched by geometry)."""
 
-    def __init__(self, cls: np.ndarray, bboxes: np.ndarray, segments: np.ndarray):
+    def __init__(self, cls: np.ndarray, bboxes: np.ndarray, segments: np.ndarray,
+                 keypoints: Optional[np.ndarray] = None):
         self.cls = np.asarray(cls, np.float32).reshape(-1)
         self.bboxes = np.asarray(bboxes, np.float32).reshape(-1, 4)
         if segments.size == 0:
             segments = np.zeros((len(self.cls), NUM_CONTOUR_POINTS, 2), np.float32)
         self.segments = np.asarray(segments, np.float32)
+        self.keypoints = None if keypoints is None else np.asarray(keypoints, np.float32)
 
     def __len__(self):
         return self.cls.shape[0]
 
     def copy(self) -> "Instances":
-        return Instances(self.cls.copy(), self.bboxes.copy(), self.segments.copy())
+        return Instances(
+            self.cls.copy(), self.bboxes.copy(), self.segments.copy(),
+            None if self.keypoints is None else self.keypoints.copy(),
+        )
 
     def scale(self, sx: float, sy: float):
         self.bboxes[:, [0, 2]] *= sx
         self.bboxes[:, [1, 3]] *= sy
         self.segments[..., 0] *= sx
         self.segments[..., 1] *= sy
+        if self.keypoints is not None:
+            self.keypoints[..., 0] *= sx
+            self.keypoints[..., 1] *= sy
 
     def translate(self, dx: float, dy: float):
         self.bboxes[:, [0, 2]] += dx
         self.bboxes[:, [1, 3]] += dy
         self.segments[..., 0] += dx
         self.segments[..., 1] += dy
+        if self.keypoints is not None:
+            self.keypoints[..., 0] += dx
+            self.keypoints[..., 1] += dy
 
     def fliplr(self, w: int):
         x1 = self.bboxes[:, 0].copy()
         self.bboxes[:, 0] = w - self.bboxes[:, 2]
         self.bboxes[:, 2] = w - x1
         self.segments[..., 0] = w - self.segments[..., 0]
+        if self.keypoints is not None:
+            self.keypoints[..., 0] = w - self.keypoints[..., 0]
 
     def flipud(self, h: int):
         y1 = self.bboxes[:, 1].copy()
         self.bboxes[:, 1] = h - self.bboxes[:, 3]
         self.bboxes[:, 3] = h - y1
         self.segments[..., 1] = h - self.segments[..., 1]
+        if self.keypoints is not None:
+            self.keypoints[..., 1] = h - self.keypoints[..., 1]
 
     def clip(self, w: int, h: int):
         self.bboxes[:, [0, 2]] = self.bboxes[:, [0, 2]].clip(0, w)
@@ -103,14 +119,21 @@ class Instances:
         return self.select(keep)
 
     def select(self, keep) -> "Instances":
-        return Instances(self.cls[keep], self.bboxes[keep], self.segments[keep])
+        return Instances(
+            self.cls[keep], self.bboxes[keep], self.segments[keep],
+            None if self.keypoints is None else self.keypoints[keep],
+        )
 
     @staticmethod
     def concatenate(items: List["Instances"]) -> "Instances":
         if not items:
             return Instances(np.zeros(0), np.zeros((0, 4)), np.zeros((0, NUM_CONTOUR_POINTS, 2)))
+        kpts = None
+        if all(i.keypoints is not None for i in items):
+            kpts = np.concatenate([i.keypoints for i in items])
         return Instances(
             np.concatenate([i.cls for i in items]),
             np.concatenate([i.bboxes for i in items]),
             np.concatenate([i.segments for i in items]),
+            kpts,
         )

@@ -40,6 +40,32 @@ from ..utils.metrics import (
 )
 
 
+def _append_coco_json(jdict, image_id: int, out, bi: int):
+    """COCO-format prediction rows (reference pred_to_json segment/val.py:268)."""
+    keep = out["valid"][bi]
+    boxes = out["boxes"][bi][keep]
+    for box, score, cls in zip(boxes, out["scores"][bi][keep], out["classes"][bi][keep]):
+        jdict.append(
+            {
+                "image_id": int(image_id),
+                "category_id": int(cls),
+                "bbox": [float(box[0]), float(box[1]), float(box[2] - box[0]), float(box[3] - box[1])],
+                "score": round(float(score), 5),
+            }
+        )
+
+
+def _write_coco_json(jdict, project=None, name: str = "predictions.json"):
+    import json
+
+    out = Path(project or "runs") / name
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as fh:
+        json.dump(jdict, fh)
+    LOGGER.info(f"saved {len(jdict)} predictions to {out}")
+    return out
+
+
 class BaseValidator:
     task = "detect"
 
@@ -129,6 +155,7 @@ class SegmentationValidator(BaseValidator):
 
         n_img = 0
         t0 = time.time()
+        jdict = []
         for batch in loader:
             images = jnp.asarray(batch["img"])
             out = eval_fn(
@@ -141,6 +168,9 @@ class SegmentationValidator(BaseValidator):
             )
             out = {k: np.asarray(v) for k, v in out.items()}
             B = images.shape[0]
+            for bi in range(B):
+                if args.save_json:
+                    _append_coco_json(jdict, n_img + bi, out, bi)
             n_img += B
             for bi in range(B):
                 keep = out["valid"][bi]
@@ -157,6 +187,8 @@ class SegmentationValidator(BaseValidator):
         metrics.process()
         dt = time.time() - t0
         res = metrics.results_dict
+        if args.save_json and jdict:
+            _write_coco_json(jdict, getattr(args, "project", None))
         LOGGER.info(
             f"val: {n_img} imgs  box mAP50-95 {res['metrics/mAP50-95(B)']:.4f}  "
             f"mask mAP50-95 {res['metrics/mAP50-95(M)']:.4f}  ({dt:.1f}s)"
@@ -232,9 +264,83 @@ class DetectionValidator(BaseValidator):
 
 
 class PoseValidator(DetectionValidator):
+    """Pose validation: box mAP + keypoint OKS mAP (reference
+    models/yolo/pose/val.py)."""
+
     task = "pose"
-    # round 1: box metrics for pose models (kpt OKS metrics land with the pose
-    # dataset pipeline)
+
+    def __call__(self, model=None, variables=None, data=None, loader=None) -> Dict[str, float]:
+        from ..nn.modules.head import decode_pose
+        from ..utils.loss import OKS_SIGMA
+        from ..utils.metrics import PoseMetrics, kpt_iou
+
+        args = self.args
+        if isinstance(data, (str, Path)):
+            data = check_det_dataset(data)
+        if loader is None:
+            loader = self.build_loader(data)
+        metrics = PoseMetrics(names=getattr(model, "names", {}))
+        imgsz = args.imgsz
+        kpt_shape = model.kpt_shape
+        nk = kpt_shape[0] * kpt_shape[1]
+        nc = model.nc
+        max_det = args.max_det
+
+        @jax.jit
+        def eval_fn(variables, images, gt_bboxes):
+            pred = model.predict(variables, images)  # (B, 4+nc+nk, A)
+            boxes_xywh = pred[:, :4]
+            pred = pred.at[:, :4].set(
+                jnp.transpose(xywh2xyxy(jnp.transpose(boxes_xywh, (0, 2, 1))), (0, 2, 1))
+            )
+            out = non_max_suppression(
+                pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
+                iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 1024),
+                max_det=max_det,
+            )
+            gt_xyxy = xywh2xyxy(gt_bboxes) * imgsz
+            ious_box = jax.vmap(box_iou)(gt_xyxy, out["boxes"])
+            return {**out, "ious_box": ious_box}
+
+        t0 = time.time()
+        n_img = 0
+        for batch in loader:
+            images = jnp.asarray(batch["img"])
+            out = eval_fn(variables, images, jnp.asarray(batch["bboxes"]))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for bi in range(images.shape[0]):
+                keep = out["valid"][bi]
+                gt_keep = batch["mask_gt"][bi]
+                pred_cls = out["classes"][bi][keep]
+                conf = out["scores"][bi][keep]
+                tcls = batch["cls"][bi][gt_keep]
+                tp_b = match_predictions(
+                    pred_cls, tcls, out["ious_box"][bi][gt_keep][:, keep]
+                )
+                metrics.box.update(tp_b, conf, pred_cls, tcls)
+                if "keypoints" in batch:
+                    pk = out["extras"][bi][keep].reshape(-1, *kpt_shape)
+                    gk = batch["keypoints"][bi][gt_keep].copy()
+                    gk[..., 0] *= imgsz
+                    gk[..., 1] *= imgsz
+                    gb = np.asarray(
+                        xywh2xyxy(jnp.asarray(batch["bboxes"][bi][gt_keep])) * imgsz
+                    )
+                    area = np.clip(
+                        (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]) * 0.53, 1, None
+                    )
+                    oks = kpt_iou(gk, pk, area, np.asarray(OKS_SIGMA))
+                    tp_p = match_predictions(pred_cls, tcls, oks)
+                    metrics.pose.update(tp_p, conf, pred_cls, tcls)
+        metrics.process()
+        metrics.pose.process()
+        res = metrics.results_dict
+        LOGGER.info(
+            f"val(pose): {n_img} imgs  box mAP50-95 {res['metrics/mAP50-95(B)']:.4f}  "
+            f"pose mAP50-95 {res.get('metrics/mAP50-95(P)', 0.0):.4f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        return res
 
 
 class ClassificationValidator(BaseValidator):
