@@ -126,3 +126,21 @@ def test_callbacks_bus():
     inst.callbacks["on_train_start"].append(lambda t: 1 / 0)  # must not raise
     run_callbacks(inst, "on_train_start")
     assert calls == ["start"]
+
+
+def test_results_save_txt_and_crop(tmp_path):
+    from yolo_contour_regression_tpu.engine.results import Results
+
+    img = np.full((64, 64, 3), 120, np.uint8)
+    boxes = np.array([[8, 8, 32, 32, 0.9, 0], [40, 40, 60, 60, 0.7, 1]], np.float32)
+    res = Results(img, "x.jpg", {0: "a", 1: "b"}, boxes=boxes)
+    txt = res.save_txt(str(tmp_path / "labels/x.txt"), save_conf=True)
+    lines = open(txt).read().strip().splitlines()
+    assert len(lines) == 2
+    vals = lines[0].split()
+    assert vals[0] == "0" and len(vals) == 6  # cls xywhn conf
+    crops = res.save_crop(tmp_path / "crops", "x")
+    assert len(crops) == 2
+    import cv2
+
+    assert cv2.imread(crops[0]).shape == (24, 24, 3)

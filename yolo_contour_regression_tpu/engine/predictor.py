@@ -140,14 +140,19 @@ class BasePredictor:
                 "inference": (t2 - t1) * 1e3,
                 "postprocess": (time.perf_counter() - t2) * 1e3,
             }
-            if (
-                self.args.save
-                and isinstance(path, str)
-                and Path(path).suffix.lower() in IMG_FORMATS
-            ):
+            named = isinstance(path, str) and Path(path).suffix.lower() in IMG_FORMATS
+            if named and (self.args.save or self.args.save_txt or self.args.save_crop):
                 save_dir = Path(self.args.project or "runs") / "predict"
                 save_dir.mkdir(parents=True, exist_ok=True)
-                res.save(str(save_dir / Path(path).name))
+                if self.args.save:
+                    res.save(str(save_dir / Path(path).name))
+                if self.args.save_txt:
+                    res.save_txt(
+                        str(save_dir / "labels" / (Path(path).stem + ".txt")),
+                        save_conf=self.args.save_conf,
+                    )
+                if self.args.save_crop:
+                    res.save_crop(save_dir / "crops", Path(path).stem)
             yield res
 
 

@@ -177,3 +177,52 @@ class Results:
 
         cv2.imwrite(filename, self.plot())
         return filename
+
+    def save_txt(self, txt_file: str, save_conf: bool = False):
+        """YOLO-format results txt (reference results.py:302 save_txt):
+        `cls xywhn [conf]` per detection, polygon rows for contours."""
+        lines = []
+        if self.probs is not None:
+            lines.append(f"{self.probs.top1conf:.2f} {self.probs.top1}")
+        elif self.boxes is not None:
+            for i, row in enumerate(self.boxes.data):
+                cls = int(row[5])
+                if self.contours is not None and i < len(self.contours):
+                    pts = self.contours.xy[i]
+                    if pts.shape[0] >= 3:
+                        h, w = self.orig_shape
+                        seg = " ".join(f"{x / w:.6f} {y / h:.6f}" for x, y in pts)
+                        line = f"{cls} {seg}"
+                    else:
+                        continue
+                else:
+                    xywhn = self.boxes.xywhn[i]
+                    line = f"{cls} " + " ".join(f"{v:.6f}" for v in xywhn)
+                if save_conf:
+                    line += f" {row[4]:.6f}"
+                lines.append(line)
+        from pathlib import Path
+
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
+        return txt_file
+
+    def save_crop(self, save_dir, file_name: str = "crop"):
+        """Save per-detection crops (reference results.py:341 save_crop)."""
+        import cv2
+        from pathlib import Path
+
+        save_dir = Path(save_dir)
+        out = []
+        if self.boxes is not None:
+            for i, row in enumerate(self.boxes.data):
+                x1, y1, x2, y2 = (int(v) for v in row[:4])
+                name = self.names.get(int(row[5]), str(int(row[5])))
+                d = save_dir / name
+                d.mkdir(parents=True, exist_ok=True)
+                crop = self.orig_img[max(y1, 0) : y2, max(x1, 0) : x2]
+                if crop.size:
+                    p = str(d / f"{file_name}_{i}.jpg")
+                    cv2.imwrite(p, crop)
+                    out.append(p)
+        return out

@@ -96,6 +96,27 @@ def profile(fns: Dict[str, Callable], *args, n: int = 10) -> Dict[str, float]:
     return out
 
 
+class trace:
+    """jax.profiler trace context (SURVEY.md §5.1 TPU equivalent of the
+    reference's thop/Profile instrumentation): dumps a TensorBoard-viewable
+    trace of device execution.
+
+        with jax_utils.trace("runs/profile"):
+            step_fn(...)
+    """
+
+    def __init__(self, log_dir: str = "runs/profile"):
+        self.log_dir = str(log_dir)
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        LOGGER.info(f"profiler trace written to {self.log_dir}")
+
+
 def smart_inference_mode(fn: Callable) -> Callable:
     """Decorator parity shim (torch_utils.py:45): JAX fns are pure; nothing to
     disable. Kept so user code written against the reference API ports over."""
