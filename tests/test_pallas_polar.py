@@ -1,0 +1,46 @@
+"""Pallas GT-ray kernel: interpret-mode parity with the jnp reference
+(compiled-kernel parity is exercised on real TPU by the train step)."""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from yolo_contour_regression_tpu.ops.polar import gt_rays_from_contour
+from yolo_contour_regression_tpu.ops.pallas_polar import _atan2, gt_rays_pallas
+
+
+def test_poly_atan2_accuracy():
+    rng = np.random.default_rng(0)
+    y = rng.normal(0, 10, 5000).astype(np.float32)
+    x = rng.normal(0, 10, 5000).astype(np.float32)
+    got = np.asarray(_atan2(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y, x)
+    assert np.abs(got - want).max() < 2e-5  # ~0.001 deg
+
+
+def test_gt_rays_pallas_interpret_parity():
+    rng = np.random.default_rng(1)
+    P = 24
+    t = np.sort(rng.uniform(0, 2 * math.pi, (P, 360)), axis=1)
+    r = 5 + rng.uniform(0, 30, (P, 360))
+    cont = np.stack([100 + r * np.cos(t), 100 + r * np.sin(t)], -1).astype(np.float32)
+    ctr = (100 + rng.uniform(-20, 20, (P, 2))).astype(np.float32)
+    got = np.asarray(gt_rays_pallas(jnp.asarray(cont), jnp.asarray(ctr), interpret=True))
+    want = np.asarray(gt_rays_from_contour(jnp.asarray(cont), jnp.asarray(ctr)))
+    rel = np.abs(got - want) / np.maximum(want, 1e-3)
+    assert (rel < 0.01).all()
+
+
+def test_gt_rays_pallas_padding():
+    # P not a multiple of PAIRS_PER_PROG: padded rows must not corrupt output
+    rng = np.random.default_rng(2)
+    P = 5
+    t = np.sort(rng.uniform(0, 2 * math.pi, (P, 360)), axis=1)
+    cont = np.stack([50 + 10 * np.cos(t), 50 + 10 * np.sin(t)], -1).astype(np.float32)
+    ctr = np.full((P, 2), 50.0, np.float32)
+    got = np.asarray(gt_rays_pallas(jnp.asarray(cont), jnp.asarray(ctr), interpret=True))
+    want = np.asarray(gt_rays_from_contour(jnp.asarray(cont), jnp.asarray(ctr)))
+    assert got.shape == (P, 36)
+    # random angular spacing can legitimately leave >3-deg gaps (invisible
+    # rays), so parity with the reference is the correct check
+    np.testing.assert_allclose(got, want, rtol=1e-3)

@@ -148,7 +148,9 @@ def polar_task_aligned_assign(
     contour_pairs = jnp.broadcast_to(
         gt_contours[:, :, None], (B, N, K, polar_ops.NUM_CONTOUR_POINTS, 2)
     ).reshape(-1, polar_ops.NUM_CONTOUR_POINTS, 2)
-    gt_rays_cand = polar_ops.gt_rays_from_contour(
+    from ..ops.pallas_polar import gt_rays_fast
+
+    gt_rays_cand = gt_rays_fast(
         contour_pairs, anc_cand.reshape(-1, 2), chunk=chunk
     ).reshape(B, N, K, polar_ops.NUM_RAYS)
 
