@@ -144,3 +144,46 @@ def test_results_save_txt_and_crop(tmp_path):
     import cv2
 
     assert cv2.imread(crops[0]).shape == (24, 24, 3)
+
+
+def test_settings_manager(tmp_path):
+    from yolo_contour_regression_tpu.utils.settings import SettingsManager
+
+    p = tmp_path / "settings.json"
+    s = SettingsManager(p)
+    assert p.exists()
+    s["runs_dir"] = "custom"
+    s.save()
+    s2 = SettingsManager(p)
+    assert s2["runs_dir"] == "custom"
+    p.write_text("{corrupt")
+    s3 = SettingsManager(p)  # recovers to defaults
+    assert s3["runs_dir"] == "runs"
+
+
+def test_mosaic9_and_copy_paste():
+    import random
+
+    from yolo_contour_regression_tpu.data import augment as A
+    from yolo_contour_regression_tpu.data.instance import Instances
+
+    rng = random.Random(0)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        img = r.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        seg = np.tile(np.array([[20.0, 20.0]], np.float32), (360, 1))
+        t = np.linspace(0, 2 * np.pi, 360, endpoint=False)
+        seg = np.stack([24 + 8 * np.cos(t), 24 + 8 * np.sin(t)], -1).astype(np.float32)
+        inst = Instances(np.zeros(1), np.array([[16, 16, 32, 32]], np.float32), seg[None])
+        return A.Sample(img, inst)
+
+    s = A.mosaic9([mk(i) for i in range(9)], 32, rng)
+    assert s.img.shape == (64, 64, 3)
+    assert len(s.inst) >= 1
+    assert (s.inst.bboxes >= 0).all() and (s.inst.bboxes <= 64).all()
+
+    s2 = mk(0)
+    n_before = len(s2.inst)
+    out = A.copy_paste(s2, p=1.0, rng=rng)
+    assert len(out.inst) >= n_before  # pasted or skipped on collision, never lost

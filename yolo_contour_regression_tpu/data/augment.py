@@ -232,6 +232,8 @@ def train_transform(get_sample, index: int, n_total: int, imgsz: int, hyp, rng: 
     if use_mosaic:
         idxs = [index] + [rng.randrange(n_total) for _ in range(3)]
         s = mosaic4([get_sample(i) for i in idxs], imgsz, rng)
+        if getattr(hyp, "copy_paste", 0.0) > 0:
+            s = copy_paste(s, hyp.copy_paste, rng)
         border = (-imgsz // 2, -imgsz // 2)
         s = random_perspective(
             s, imgsz, rng, hyp.degrees, hyp.translate, hyp.scale, hyp.shear,
@@ -294,6 +296,76 @@ def format_sample(s: Sample, max_instances: int) -> Dict[str, np.ndarray]:
 
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def mosaic9(samples: List[Sample], imgsz: int, rng: random.Random) -> Sample:
+    """9-image mosaic on a 3x3 canvas (reference augment.py:209 _mosaic9)."""
+    s = imgsz
+    canvas = np.full((3 * s, 3 * s, 3), 114, np.uint8)
+    insts = []
+    # 3x3 grid cells, center cell first like the reference ordering
+    order = [(1, 1), (0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2)]
+    for (gy, gx), smp in zip(order, samples):
+        img = smp.img
+        h, w = img.shape[:2]
+        r = s / max(h, w)
+        if r != 1:
+            img = cv2.resize(img, (round(w * r), round(h * r)))
+        h, w = img.shape[:2]
+        y0, x0 = gy * s, gx * s
+        canvas[y0 : y0 + h, x0 : x0 + w] = img
+        inst = smp.inst.copy()
+        inst.scale(r, r)
+        inst.translate(x0, y0)
+        insts.append(inst)
+    inst = Instances.concatenate(insts)
+    # crop the central 2s x 2s region (reference crops with random offset;
+    # fixed center keeps fixed shapes for the downstream border crop)
+    ox = oy = s // 2
+    out = canvas[oy : oy + 2 * s, ox : ox + 2 * s]
+    inst.translate(-ox, -oy)
+    inst.clip(2 * s, 2 * s)
+    inst = inst.remove_degenerate()
+    return Sample(np.ascontiguousarray(out), inst)
+
+
+def copy_paste(s: Sample, p: float, rng: random.Random) -> Sample:
+    """Instance copy-paste via contour masks (reference augment.py:640
+    CopyPaste): flip instances horizontally and paste where they don't
+    collide (ioa < 0.3) with existing boxes."""
+    n = len(s.inst)
+    if p <= 0 or n == 0 or not s.inst.segments.reshape(n, -1).any():
+        return s
+    h, w = s.img.shape[:2]
+    flipped = s.inst.copy()
+    flipped.fliplr(w)
+    from ..ops.boxes import bbox_ioa as _  # noqa: F401  (jnp variant unused here)
+
+    def ioa(a, b):  # (4,), (m, 4) -> (m,)
+        lt = np.maximum(a[:2], b[:, :2])
+        rb = np.minimum(a[2:], b[:, 2:])
+        inter = np.clip(rb - lt, 0, None).prod(-1)
+        area_b = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(b[:, 3] - b[:, 1], 0, None)
+        return inter / (area_b + 1e-7)
+
+    pasted = []
+    for i in rng.sample(range(n), max(1, round(p * n))):
+        box = flipped.bboxes[i]
+        if (box[2] - box[0]) < 2 or (box[3] - box[1]) < 2:
+            continue
+        if ioa(box, s.inst.bboxes).max(initial=0.0) > 0.30:
+            continue
+        seg = flipped.segments[i]
+        if not seg.any():
+            continue
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, [seg.astype(np.int32)], 1)
+        src = np.fliplr(s.img)
+        s.img = np.where(mask[..., None] == 1, src, s.img)
+        pasted.append(i)
+    if pasted:
+        s.inst = Instances.concatenate([s.inst, flipped.select(np.asarray(pasted))])
+    return s
 
 
 # ---- fork's grayscale classification transforms (augment.py:950-1176) ------
