@@ -1,0 +1,47 @@
+"""Exporter: StableHLO round-trip parity with the fused eval path
+(the reference has no export-parity tests; its export drops decode entirely)."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def test_stablehlo_roundtrip_parity(tmp_path):
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu import YOLO
+    from yolo_contour_regression_tpu.engine.exporter import load_stablehlo
+
+    m = YOLO("yolov8n-seg.yaml")
+    path = m.export(format="stablehlo", imgsz=64, project=str(tmp_path))
+    assert Path(path).exists()
+    meta = Path(path).parent / (Path(path).stem + ".metadata.json")
+    assert meta.exists()
+    import json
+
+    md = json.loads(meta.read_text())
+    assert md["decode_in_graph"] is True
+
+    fn = load_stablehlo(path)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = np.asarray(fn(x))
+    m.fuse()
+    want = np.asarray(m.model.predict(m.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_dump_prediction_format(tmp_path):
+    import struct
+
+    from yolo_contour_regression_tpu.engine.exporter import dump_prediction
+
+    nc, A = 3, 16
+    pred = np.random.default_rng(0).uniform(0, 1, (4 + nc + 108, A)).astype(np.float32)
+    p = dump_prediction(pred, nc, 64, 64, str(tmp_path / "d.bin"), conf=0.3, iou=0.6)
+    raw = open(p, "rb").read()
+    nc2, a2, h, w = struct.unpack("<iiii", raw[:16])
+    conf, iou = struct.unpack("<ff", raw[16:24])
+    assert (nc2, a2, h, w) == (nc, A, 64, 64)
+    assert abs(conf - 0.3) < 1e-6 and abs(iou - 0.6) < 1e-6
+    body = np.frombuffer(raw[24:], np.float32).reshape(4 + nc + 108, A)
+    np.testing.assert_array_equal(body, pred)

@@ -40,6 +40,26 @@ def _bce(logits, targets):
     return optax.sigmoid_binary_cross_entropy(logits, targets)
 
 
+def focal_loss(logits, targets, gamma: float = 1.5, alpha: float = 0.25):
+    """Focal loss (reference loss.py:31 FocalLoss): BCE modulated by
+    (1 - p_t)^gamma with optional alpha class balance."""
+    p = jax.nn.sigmoid(logits)
+    bce = _bce(logits, targets)
+    p_t = targets * p + (1 - targets) * (1 - p)
+    mod = (1.0 - p_t) ** gamma
+    if alpha > 0:
+        mod = mod * (targets * alpha + (1 - targets) * (1 - alpha))
+    return bce * mod
+
+
+def varifocal_loss(pred_logits, gt_score, label, gamma: float = 2.0, alpha: float = 0.75):
+    """Varifocal loss (reference loss.py:16 VarifocalLoss): IoU-aware targets
+    weighted asymmetrically for positives vs negatives."""
+    p = jax.nn.sigmoid(pred_logits)
+    weight = alpha * (p**gamma) * (1 - label) + gt_score * label
+    return _bce(pred_logits, gt_score) * weight
+
+
 def segmentation_loss(
     feats: Sequence[jnp.ndarray],  # per-level (B, H, W, 36+nc) raw maps
     batch: Dict[str, jnp.ndarray],  # cls (B,N), bboxes (B,N,4) xywh norm,
