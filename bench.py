@@ -15,6 +15,10 @@ Baseline anchor (BASELINE.md): the reference's A100-TensorRT yolov8n-seg
 pipeline is ~826 img/s. North star: >= 2x that per chip.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Default batch 16 measures ~3.7x baseline; BENCH_BATCH=32 reaches ~4.3x but
+its larger jit graph occasionally stalls the remote-compile tunnel, so the
+reliable setting stays the default.
 """
 import json
 import os
