@@ -101,7 +101,12 @@ def make_train_step(
 
     def step_fn(state: TrainState, images, batch):
         if accumulate > 1:
-            # micro-batch scan: split dim 0 into `accumulate` chunks
+            # micro-batch scan over pre-stacked (accumulate, B, ...) inputs
+            # (sharded on axis 1 by parallel.shard_microbatches). Gradients
+            # are SUMMED, matching the reference's loss.backward()
+            # accumulation (trainer.py:371-377): the per-micro-batch loss is
+            # already x batch_size, so the summed gradient scales with the
+            # effective batch nbs exactly as the reference's does.
             def micro(carry, xs):
                 g_acc, stats = carry
                 im, bt = xs
@@ -109,16 +114,10 @@ def make_train_step(
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 return (g_acc, new_stats), (tot, items)
 
-            def split(x):
-                return x.reshape((accumulate, x.shape[0] // accumulate) + x.shape[1:])
-
-            images_s = split(images)
-            batch_s = jax.tree_util.tree_map(split, batch)
             zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             (grads, new_stats), (totals, items) = jax.lax.scan(
-                micro, (zeros, state.batch_stats), (images_s, batch_s)
+                micro, (zeros, state.batch_stats), (images, batch)
             )
-            grads = jax.tree_util.tree_map(lambda g: g / accumulate, grads)
             total = totals.mean()
             items = jax.tree_util.tree_map(jnp.mean, items)
         else:

@@ -144,10 +144,14 @@ class BaseTrainer:
             train_set, args.batch, args.workers, shuffle=True, mode="train",
             seed=args.seed,
         )
-        steps_per_epoch = max(len(loader), 1)
-        iterations = steps_per_epoch * args.epochs
-        accumulate = max(round(args.nbs / args.batch), 1)
+        # grad accumulation toward nominal batch nbs (reference trainer.py:253),
+        # capped at one epoch's worth of loader batches so tiny datasets don't
+        # inflate per-epoch work; steps_per_epoch counts OPTIMIZER steps
+        micro_per_epoch = max(len(loader), 1)
+        accumulate = min(max(round(args.nbs / args.batch), 1), micro_per_epoch)
         args.accumulate = accumulate
+        steps_per_epoch = max(micro_per_epoch // accumulate, 1)
+        iterations = steps_per_epoch * args.epochs
 
         tx = build_optimizer(variables["params"], args, steps_per_epoch, iterations)
         state = init_train_state(variables, tx)
@@ -174,7 +178,8 @@ class BaseTrainer:
         state = replicate_tree(mesh, state)
         step_fn = make_train_step(
             self.model, tx, args, cand=getattr(args, "cand_per_gt", 128),
-            mesh=mesh, donate=bool(getattr(args, "donate", True)),
+            accumulate=accumulate, mesh=mesh,
+            donate=bool(getattr(args, "donate", True)),
         )
 
         validator = self.get_validator() if args.val else None
@@ -199,18 +204,33 @@ class BaseTrainer:
             epoch_metrics: Dict[str, float] = {}
             t0 = time.time()
             for i in range(steps_per_epoch):
-                batch = next(data_iter)
-                images = batch.pop("img")
+                if accumulate > 1:
+                    micro = [next(data_iter) for _ in range(accumulate)]
+                    batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+                    images = batch.pop("img")
+                    pbatch = dict(micro[0])
+                    pimg = pbatch.pop("img")
+                else:
+                    batch = next(data_iter)
+                    images = batch.pop("img")
+                    pbatch, pimg = batch, images
                 if args.plots and not first_batch_plotted and args.task != "classify":
                     from ..utils.plotting import plot_images
 
                     plot_images(
-                        images, batch, fname=str(self.save_dir / "train_batch0.jpg"),
+                        pimg, pbatch,
+                        fname=str(self.save_dir / "train_batch0.jpg"),
                         names=data.get("names"),
                     )
                     first_batch_plotted = True
-                images_d = shard_batch(mesh, images)
-                batch_d = shard_batch(mesh, batch)
+                if accumulate > 1:
+                    from ..parallel.mesh import shard_microbatches
+
+                    images_d = shard_microbatches(mesh, images)
+                    batch_d = shard_microbatches(mesh, batch)
+                else:
+                    images_d = shard_batch(mesh, images)
+                    batch_d = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, images_d, batch_d)
                 if i == steps_per_epoch - 1 or (i % 50 == 0):
                     # sparse host readbacks: each float() forces a device sync
@@ -237,6 +257,16 @@ class BaseTrainer:
                 log.update(vm)
                 fitness = vm.get("fitness", 0.0)
                 self.metrics = vm
+            if jax.process_count() > 1:
+                # broadcast host-0 fitness so every process takes the same
+                # early-stop decision (reference trainer.py:420-427
+                # broadcast_object_list); without this non-zero hosts see
+                # fitness=0 forever and their stopper fires after `patience`
+                from jax.experimental import multihost_utils
+
+                fitness = float(
+                    multihost_utils.broadcast_one_to_all(np.float32(fitness))
+                )
             if fitness >= self.best_fitness:
                 self.best_fitness = fitness
             self._write_csv(epoch, log)

@@ -308,6 +308,7 @@ class PoseValidator(DetectionValidator):
             images = jnp.asarray(batch["img"])
             out = eval_fn(variables, images, jnp.asarray(batch["bboxes"]))
             out = {k: np.asarray(v) for k, v in out.items()}
+            n_img += images.shape[0]
             for bi in range(images.shape[0]):
                 keep = out["valid"][bi]
                 gt_keep = batch["mask_gt"][bi]

@@ -8,6 +8,7 @@ vectorized over arbitrary leading dims, no Python branching on data.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-7
@@ -96,7 +97,9 @@ def bbox_iou(
         return iou - rho2 / c2
     # CIoU
     v = (4 / jnp.pi**2) * (jnp.arctan(w2 / (h2 + eps)) - jnp.arctan(w1 / (h1 + eps))) ** 2
-    alpha = v / (v - iou + (1 + eps))
+    # alpha is a constant wrt the loss gradient (reference computes it under
+    # torch.no_grad(), metrics.py:126)
+    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
     return iou - (rho2 / c2 + v * alpha)
 
 

@@ -79,6 +79,20 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(put, tree)
 
 
+def shard_microbatches(mesh: Mesh, tree):
+    """Place stacked (accumulate, B, ...) micro-batches with the per-micro
+    batch axis (dim 1) sharded over 'batch'; the scan axis stays replicated
+    so ``lax.scan`` over dim 0 never scans across devices."""
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(
+            x, NamedSharding(mesh, P(None, "batch", *([None] * (x.ndim - 2))))
+        )
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def replicate_tree(mesh: Mesh, tree):
     sharding = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -269,7 +269,9 @@ def pose_loss(
         assign.target_bboxes[..., 2:] - assign.target_bboxes[..., :2], axis=-1
     )[..., None]
     d2 = ((kxy - sel_kxy) ** 2).sum(-1)  # (B, A, 17)
-    e = d2 / (2 * OKS_SIGMA[None, None, :] ** 2) / (area + 1e-9) / 2
+    # OKS denominator is (2*sigma)^2 (reference KeypointLoss loss.py:183 and
+    # cocoeval), matching kpt_iou in utils/metrics.py
+    e = d2 / ((2 * OKS_SIGMA[None, None, :]) ** 2) / (area + 1e-9) / 2
     loss_kpt = (
         ((1 - jnp.exp(-e)) * kpt_mask).sum()
         / jnp.maximum(kpt_mask.sum(), 1.0)

@@ -80,6 +80,23 @@ def bias_lr_schedule(hyp, steps_per_epoch: int):
     return sched
 
 
+def momentum_schedule(hyp, steps_per_epoch: int):
+    """SGD momentum warmup: warmup_momentum -> momentum over the warmup steps
+    (reference trainer.py:325-329 per-step np.interp of group['momentum'])."""
+    nb = max(steps_per_epoch, 1)
+    nw = max(round(hyp.warmup_epochs * nb), 100) if hyp.warmup_epochs > 0 else 0
+    mom = float(hyp.momentum)
+    warm = float(getattr(hyp, "warmup_momentum", mom))
+    if nw == 0:
+        return lambda step: jnp.asarray(mom, jnp.float32)
+
+    def sched(step):
+        frac = jnp.clip(jnp.asarray(step, jnp.float32) / nw, 0.0, 1.0)
+        return warm + (mom - warm) * frac
+
+    return sched
+
+
 def build_optimizer(
     params, hyp, steps_per_epoch: int, iterations: int
 ) -> optax.GradientTransformation:
@@ -95,24 +112,38 @@ def build_optimizer(
         hyp.lr0, hyp.momentum, hyp.warmup_bias_lr = lr0, mom, 0.0
     sched = lr_schedule(hyp, steps_per_epoch)
     bias_sched = bias_lr_schedule(hyp, steps_per_epoch)
+    mom_sched = momentum_schedule(hyp, steps_per_epoch)
 
-    def core(schedule):
-        if name in ("Adam", "AdamW", "NAdam", "RAdam", "Adamax"):
+    def core(schedule, wd: float = 0.0):
+        if name == "AdamW":
+            # decoupled weight decay (torch.optim.AdamW): decay applied after
+            # the adaptive update scaling, not folded into the gradient
+            return optax.adamw(
+                learning_rate=schedule, b1=hyp.momentum, b2=0.999, weight_decay=wd
+            )
+        if name in ("Adam", "NAdam", "RAdam", "Adamax"):
             opt = {
-                "Adam": optax.adam, "AdamW": optax.adam, "NAdam": optax.nadam,
+                "Adam": optax.adam, "NAdam": optax.nadam,
                 "RAdam": optax.radam, "Adamax": optax.adamax,
             }[name](learning_rate=schedule, b1=hyp.momentum, b2=0.999)
         elif name == "RMSProp":
             opt = optax.rmsprop(learning_rate=schedule, momentum=hyp.momentum)
-        else:  # SGD, nesterov momentum (reference trainer.py:687)
-            opt = optax.sgd(learning_rate=schedule, momentum=hyp.momentum, nesterov=True)
+        else:  # SGD, nesterov momentum (reference trainer.py:687), with the
+            # warmup_momentum->momentum ramp injected as a per-step schedule
+            opt = optax.inject_hyperparams(optax.sgd, static_args=("nesterov",))(
+                learning_rate=schedule, momentum=mom_sched, nesterov=True
+            )
+        if wd:
+            # coupled L2 (torch SGD/Adam weight_decay semantics): decay enters
+            # the gradient before the momentum/adaptive update
+            opt = optax.chain(optax.add_decayed_weights(wd), opt)
         return opt
 
     wd = hyp.weight_decay * getattr(hyp, "batch", 16) * getattr(hyp, "accumulate", 1) / getattr(hyp, "nbs", 64)
 
     tx = optax.multi_transform(
         {
-            "weight": optax.chain(optax.add_decayed_weights(wd), core(sched)),
+            "weight": core(sched, wd=wd),
             "bias": core(bias_sched),
             "norm": core(sched),
         },
