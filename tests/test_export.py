@@ -45,3 +45,42 @@ def test_dump_prediction_format(tmp_path):
     assert abs(conf - 0.3) < 1e-6 and abs(iou - 0.6) < 1e-6
     body = np.frombuffer(raw[24:], np.float32).reshape(4 + nc + 108, A)
     np.testing.assert_array_equal(body, pred)
+
+
+@pytest.mark.slow
+def test_saved_model_roundtrip_parity(tmp_path):
+    """Second-format export parity (VERDICT round-1 item #7): the TF
+    saved_model artifact reproduces the fused native predictions on the same
+    image."""
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    path = m.export(format="saved_model", imgsz=64, project=str(tmp_path))
+    assert Path(path).exists()
+
+    import tensorflow as tf
+
+    loaded = tf.saved_model.load(path)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = np.asarray(loaded.f(tf.constant(x)))
+    m.fuse()
+    want = np.asarray(m.model.predict(m.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, want, atol=2e-3, rtol=1e-3)
+
+
+def test_onnx_export_gated_message(tmp_path):
+    """Without tf2onnx/onnx the exporter raises with the offline recipe
+    instead of NotImplementedError."""
+    from yolo_contour_regression_tpu import YOLO
+
+    try:
+        import tf2onnx  # noqa: F401
+
+        pytest.skip("tf2onnx present; gating not exercised")
+    except ImportError:
+        pass
+    m = YOLO("yolov8n-seg.yaml")
+    with pytest.raises(ImportError, match="tf2onnx"):
+        m.export(format="onnx", imgsz=64, project=str(tmp_path))

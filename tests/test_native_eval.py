@@ -1,0 +1,133 @@
+"""COCO-protocol native-space evaluation: scale_boxes/scale_coords golden
+tests, streaming polygon_mask_iou parity with full rasterization, and a
+non-square end-to-end val run (slow)."""
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from yolo_contour_regression_tpu.ops.boxes import scale_boxes, scale_coords
+from yolo_contour_regression_tpu.ops.raster import fill_polygons, polygon_mask_iou
+
+
+def test_scale_boxes_golden():
+    # native 100x200 (h,w) letterboxed to 128: gain=0.64, pad_y=(128-64)/2=32
+    ratio_pad = jnp.asarray([[0.64, 0.0, 32.0]])
+    ori = jnp.asarray([[100.0, 200.0]])
+    boxes = jnp.asarray([[[6.4, 38.4, 70.4, 96.0], [-5.0, 0.0, 1000.0, 1000.0]]])
+    out = np.asarray(scale_boxes(boxes, ratio_pad, ori))
+    np.testing.assert_allclose(out[0, 0], [10.0, 10.0, 110.0, 100.0], atol=1e-4)
+    # clipped to native bounds (w0=200, h0=100)
+    np.testing.assert_allclose(out[0, 1], [0.0, 0.0, 200.0, 100.0], atol=1e-4)
+
+
+def test_scale_coords_golden_and_roundtrip():
+    ratio_pad = jnp.asarray([[0.5, 10.0, 20.0]])
+    pts = jnp.asarray([[[[10.0, 20.0], [60.0, 70.0]]]])  # (B=1, N=1, P=2, 2)
+    out = np.asarray(scale_coords(pts, ratio_pad))
+    np.testing.assert_allclose(out[0, 0], [[0.0, 0.0], [100.0, 100.0]], atol=1e-4)
+    # forward letterbox of the result returns the input
+    fwd = out * 0.5 + np.asarray([10.0, 20.0])
+    np.testing.assert_allclose(fwd, np.asarray(pts), atol=1e-4)
+
+
+def _star_polygon(cx, cy, r, n, jitter, rng):
+    t = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    rr = r * (1 + jitter * rng.uniform(-1, 1, n))
+    return np.stack([cx + rr * np.cos(t), cy + rr * np.sin(t)], -1).astype(np.float32)
+
+
+def test_polygon_mask_iou_matches_full_raster():
+    rng = np.random.default_rng(0)
+    H = W = 48
+    A = np.stack([_star_polygon(rng.uniform(12, 36), rng.uniform(12, 36),
+                                rng.uniform(5, 14), 36, 0.3, rng) for _ in range(5)])
+    B = np.stack([_star_polygon(rng.uniform(12, 36), rng.uniform(12, 36),
+                                rng.uniform(5, 14), 24, 0.3, rng) for _ in range(7)])
+    va = np.ones(A.shape[:2], bool)
+    va[2, 10:] = False  # partial validity exercises vertex collapsing
+    vb = np.ones(B.shape[:2], bool)
+    vb[0, :] = False  # fully invalid polygon -> IoU 0 everywhere
+
+    iou = np.asarray(polygon_mask_iou(jnp.asarray(A), jnp.asarray(va),
+                                      jnp.asarray(B), jnp.asarray(vb), H, W, block=16))
+    ma = np.asarray(fill_polygons(jnp.asarray(A), jnp.asarray(va), H, W)).reshape(5, -1)
+    mb = np.asarray(fill_polygons(jnp.asarray(B), jnp.asarray(vb), H, W)).reshape(7, -1)
+    inter = ma.astype(np.float32) @ mb.astype(np.float32).T
+    union = ma.sum(1)[:, None] + mb.sum(1)[None, :] - inter
+    ref = inter / (union + 1e-7)
+    np.testing.assert_allclose(iou, ref, atol=1e-5)
+    assert np.all(iou[:, 0] == 0.0)
+
+
+def test_polygon_mask_iou_block_size_invariant():
+    rng = np.random.default_rng(1)
+    A = np.stack([_star_polygon(20, 20, 10, 36, 0.2, rng) for _ in range(3)])
+    v = np.ones(A.shape[:2], bool)
+    a = polygon_mask_iou(jnp.asarray(A), jnp.asarray(v), jnp.asarray(A), jnp.asarray(v), 40, 40, block=8)
+    b = polygon_mask_iou(jnp.asarray(A), jnp.asarray(v), jnp.asarray(A), jnp.asarray(v), 40, 40, block=40)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a).diagonal(), 1.0, atol=1e-6)
+
+
+def test_polygon_mask_iou_resolution_stable():
+    """IoU on the raster grid converges: doubling resolution moves values
+    by < 0.05, so mask mAP is (approximately) mask_ratio-invariant."""
+    rng = np.random.default_rng(2)
+    A = np.stack([_star_polygon(32, 32, 20, 36, 0.25, rng) for _ in range(4)])
+    B = np.stack([_star_polygon(36, 30, 18, 36, 0.25, rng) for _ in range(4)])
+    va = np.ones(A.shape[:2], bool)
+    vb = np.ones(B.shape[:2], bool)
+    lo = np.asarray(polygon_mask_iou(jnp.asarray(A / 2), va, jnp.asarray(B / 2), vb, 32, 32))
+    hi = np.asarray(polygon_mask_iou(jnp.asarray(A), va, jnp.asarray(B), vb, 64, 64))
+    assert np.abs(lo - hi).max() < 0.05
+
+
+def test_val_loader_pads_last_batch(tmp_path):
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.data.build import build_dataloader, build_yolo_dataset
+    from yolo_contour_regression_tpu.data.utils import check_det_dataset
+
+    yaml_path = make_shape_dataset(tmp_path, n_train=2, n_val=5, imgsz=32)
+    data = check_det_dataset(str(yaml_path))
+    cfg = get_cfg({}, {"imgsz": 32, "task": "segment"})
+    ds = build_yolo_dataset(cfg, data["val"], 4, data, mode="val")
+    loader = build_dataloader(ds, 4, 1, shuffle=False, mode="val")
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["img"].shape[0] == 4  # fixed shape incl. padded last batch
+        assert "ori_shape" in b and "ratio_pad" in b
+    n_valid = sorted(int(b["n_valid"]) for b in batches)
+    assert n_valid == [1, 4]
+
+
+@pytest.mark.slow
+def test_val_nonsquare_native_space(tmp_path):
+    """Validator runs end-to-end on rectangular (h != w) images; COCO json
+    rows live in native image bounds."""
+    import json
+
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    yaml_path = make_shape_dataset(
+        tmp_path / "ds", n_train=2, n_val=4, imgsz=48, img_w=96
+    )
+    m = YOLO("yolov8n-seg.yaml", task="segment")
+    res = m.val(
+        data=str(yaml_path), imgsz=64, batch=2, max_instances=8,
+        save_json=True, conf=0.25, project=str(tmp_path / "runs"),
+    )
+    assert "metrics/mAP50-95(M)" in res
+    jpath = tmp_path / "runs" / "predictions.json"
+    if jpath.exists():
+        rows = json.loads(jpath.read_text())
+        for r in rows:
+            x, y, w, h = r["bbox"]
+            assert -1 <= x <= 97 and -1 <= y <= 49  # native 96x48 bounds
+            if "segmentation" in r:
+                assert r["segmentation"]["size"] == [48, 96]

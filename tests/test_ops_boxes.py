@@ -47,5 +47,7 @@ def test_dist2bbox_bbox2dist_roundtrip():
 def test_scale_boxes_letterbox_inverse():
     # 640x640 letterboxed from a 480x640 original: gain=1, pad_y=80
     boxes = jnp.array([[100.0, 180.0, 200.0, 280.0]])
-    out = B.scale_boxes(boxes, (640, 640), (480, 640))
+    rp = B.letterbox_ratio_pad((640, 640), (480, 640))
+    np.testing.assert_allclose(rp, [1.0, 0.0, 80.0], atol=1e-6)
+    out = B.scale_boxes(boxes, rp, jnp.array([480.0, 640.0]))
     np.testing.assert_allclose(out, [[100, 100, 200, 200]], atol=1e-5)

@@ -73,3 +73,61 @@ def test_rtdetr_loss_and_grads(rtdetr):
     assert np.isfinite(float(total))
     gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_cdn_group_shapes_and_noise():
+    from yolo_contour_regression_tpu.models.utils.ops import get_cdn_group
+
+    batch = {
+        "bboxes": jnp.zeros((2, 4, 4)).at[:, 0].set(jnp.asarray([0.5, 0.5, 0.3, 0.3])),
+        "cls": jnp.ones((2, 4), jnp.int32),
+        "mask_gt": jnp.zeros((2, 4), bool).at[:, 0].set(True),
+    }
+    dn = get_cdn_group(batch, nc=80, key=jax.random.PRNGKey(0), num_dn=16)
+    G = 16 // 4
+    assert dn["labels"].shape == (2, G, 2, 4)
+    assert dn["boxes_logit"].shape == (2, G, 2, 4, 4)
+    assert np.isfinite(np.asarray(dn["boxes_logit"])).all()
+    # negative copies are pushed further from the GT than positives
+    import jax.nn as jnn
+
+    boxes = np.asarray(jnn.sigmoid(dn["boxes_logit"]))
+    gt = np.asarray([0.5, 0.5, 0.3, 0.3])
+    d_pos = np.abs(boxes[:, :, 0, 0, :2] - gt[:2]).sum(-1).mean()
+    d_neg = np.abs(boxes[:, :, 1, 0, :2] - gt[:2]).sum(-1).mean()
+    assert d_neg > d_pos
+
+
+def test_rtdetr_cdn_train_step(rtdetr):
+    """CDN groups flow through the decoder; dn losses appear and all grads
+    (incl. the denoising class embedding) are finite (VERDICT item #8)."""
+    m, v = rtdetr
+    from yolo_contour_regression_tpu.engine.step import make_loss_fn
+    from types import SimpleNamespace
+
+    hyp = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    loss_fn = make_loss_fn(m, hyp)
+    batch = {
+        "bboxes": jnp.zeros((1, 4, 4)).at[0, 0].set(jnp.asarray([0.5, 0.5, 0.3, 0.3])),
+        "cls": jnp.zeros((1, 4), jnp.int32),
+        "mask_gt": jnp.zeros((1, 4), bool).at[0, 0].set(True),
+    }
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    )
+
+    def f(params):
+        total, (items, _) = loss_fn(params, v.get("batch_stats", {}), x, batch, 3)
+        return total, items
+
+    (total, items), grads = jax.value_and_grad(f, has_aux=True)(v["params"])
+    assert np.isfinite(float(total))
+    assert "dn_cls_loss" in items and "dn_giou_loss" in items
+    assert float(items["dn_cls_loss"]) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # the denoising embedding exists and receives gradient
+    head_key = [k for k in grads if k.startswith("layer")][-1]
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    dn_grads = [g for p, g in flat if any("denoising" in str(k) for k in p)]
+    assert dn_grads and any(float(jnp.abs(g).sum()) > 0 for g in dn_grads)

@@ -19,18 +19,20 @@ MODELS_DIR = CFG_DIR / "models"
 DATASETS_DIR = CFG_DIR / "datasets"
 DEFAULT_CFG_PATH = CFG_DIR / "default.yaml"
 
-TASKS = ("detect", "segment", "classify", "pose")
+TASKS = ("detect", "segment", "segment_ori", "classify", "pose")
 MODES = ("train", "val", "predict", "export", "track", "benchmark")
 
 TASK2MODEL = {
     "detect": "yolov8n.yaml",
     "segment": "yolov8n-seg.yaml",
+    "segment_ori": "yolov8-segori.yaml",
     "classify": "yolov8n-cls.yaml",
     "pose": "yolov8n-pose.yaml",
 }
 TASK2DATA = {
     "detect": "coco8.yaml",
     "segment": "coco8-seg.yaml",
+    "segment_ori": "coco8-seg.yaml",
     "classify": "imagenet10",
     "pose": "coco8-pose.yaml",
 }
@@ -40,7 +42,7 @@ TASK2DATA = {
 CFG_FRACTION_KEYS = {
     "dropout", "iou", "lr0", "lrf", "momentum", "weight_decay", "warmup_momentum",
     "warmup_bias_lr", "label_smoothing", "hsv_h", "hsv_s", "hsv_v", "translate",
-    "scale", "perspective", "flipud", "fliplr", "mosaic", "mixup", "copy_paste",
+    "scale", "perspective", "flipud", "fliplr", "mosaic", "mosaic9", "mixup", "copy_paste",
     "conf", "fraction",
 }
 CFG_INT_KEYS = {

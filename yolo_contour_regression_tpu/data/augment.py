@@ -24,13 +24,21 @@ from .instance import Instances
 
 
 class Sample:
-    """One image + labels mid-pipeline. img uint8 HWC BGR; inst in px."""
+    """One image + labels mid-pipeline. img uint8 HWC BGR; inst in px.
 
-    __slots__ = ("img", "inst")
+    ``ori_shape``/``ratio_pad`` record the native image size and the letterbox
+    transform (gain, pad_x, pad_y) so validators can scale predictions back to
+    native image space (reference ops.py:872 scale_boxes semantics). They are
+    set by ``letterbox_sample`` and meaningless for train-augmented samples
+    (identity)."""
 
-    def __init__(self, img: np.ndarray, inst: Instances):
+    __slots__ = ("img", "inst", "ori_shape", "ratio_pad")
+
+    def __init__(self, img: np.ndarray, inst: Instances, ori_shape=None, ratio_pad=None):
         self.img = img
         self.inst = inst
+        self.ori_shape = ori_shape
+        self.ratio_pad = ratio_pad
 
 
 def letterbox(
@@ -61,11 +69,12 @@ def letterbox(
 
 
 def letterbox_sample(s: Sample, imgsz: int, scaleup: bool = True) -> Sample:
+    h0, w0 = s.img.shape[:2]
     img, r, (px, py) = letterbox(s.img, (imgsz, imgsz), scaleup=scaleup)
     inst = s.inst.copy()
     inst.scale(r, r)
     inst.translate(px, py)
-    return Sample(img, inst)
+    return Sample(img, inst, ori_shape=(h0, w0), ratio_pad=(r, px, py))
 
 
 def mosaic4(samples: List[Sample], imgsz: int, rng: random.Random) -> Sample:
@@ -230,8 +239,14 @@ def train_transform(get_sample, index: int, n_total: int, imgsz: int, hyp, rng: 
     hsv -> flips. `get_sample(i)` loads raw Sample i."""
     use_mosaic = rng.random() < hyp.mosaic
     if use_mosaic:
-        idxs = [index] + [rng.randrange(n_total) for _ in range(3)]
-        s = mosaic4([get_sample(i) for i in idxs], imgsz, rng)
+        if rng.random() < getattr(hyp, "mosaic9", 0.0):
+            # 9-grid variant (reference augment.py:209 _mosaic9), enabled by
+            # the mosaic9 hyp as the fraction of mosaics built on a 3x3 grid
+            idxs = [index] + [rng.randrange(n_total) for _ in range(8)]
+            s = mosaic9([get_sample(i) for i in idxs], imgsz, rng)
+        else:
+            idxs = [index] + [rng.randrange(n_total) for _ in range(3)]
+            s = mosaic4([get_sample(i) for i in idxs], imgsz, rng)
         if getattr(hyp, "copy_paste", 0.0) > 0:
             s = copy_paste(s, hyp.copy_paste, rng)
         border = (-imgsz // 2, -imgsz // 2)
@@ -282,6 +297,10 @@ def format_sample(s: Sample, max_instances: int) -> Dict[str, np.ndarray]:
         "bboxes": bboxes,
         "segments": segments,
         "mask_gt": mask,
+        # native-space metadata for COCO-protocol eval (identity for
+        # train-augmented samples, which have no meaningful native frame)
+        "ori_shape": np.asarray(s.ori_shape if s.ori_shape else (h, w), np.float32),
+        "ratio_pad": np.asarray(s.ratio_pad if s.ratio_pad else (1.0, 0.0, 0.0), np.float32),
     }
     if s.inst.keypoints is not None:
         K = s.inst.keypoints.shape[1]

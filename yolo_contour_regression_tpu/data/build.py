@@ -32,6 +32,7 @@ class DataLoader:
         workers: int = 4,
         seed: int = 0,
         drop_last: bool = True,
+        pad_last: bool = False,
         process_index: int = 0,
         process_count: int = 1,
     ):
@@ -42,6 +43,10 @@ class DataLoader:
         self.workers = max(1, workers)
         self.rng = random.Random(seed)
         self.drop_last = drop_last
+        # pad the final partial batch to batch_size (repeating the last
+        # sample) so jitted eval fns see ONE shape and never recompile;
+        # consumers read batch["n_valid"] to skip the padding
+        self.pad_last = pad_last
         self.process_index = process_index
         self.process_count = process_count
 
@@ -88,7 +93,17 @@ class DataLoader:
                         return
                 try:
                     samples = [self.dataset[j] for j in chunk]
-                    q.put(collate(samples))
+                    b = collate(samples)
+                    n = len(samples)
+                    if self.pad_last and n < self.batch_size:
+                        reps = self.batch_size - n
+                        b = {
+                            k: np.concatenate([v, np.repeat(v[-1:], reps, axis=0)])
+                            for k, v in b.items()
+                        }
+                    if not self.infinite:  # val: scalar, popped before jit
+                        b["n_valid"] = np.int32(n)
+                    q.put(b)
                 except Exception as e:  # surface loader errors to consumer
                     q.put(e)
                     return
@@ -128,6 +143,7 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         single_cls=getattr(cfg, "single_cls", False),
         fraction=getattr(cfg, "fraction", 1.0) if mode == "train" else 1.0,
         seed=getattr(cfg, "seed", 0),
+        cache_images=getattr(cfg, "cache", False),
         kpt_shape=data.get("kpt_shape") if cfg.task == "pose" else None,
     )
 
@@ -147,6 +163,7 @@ def build_dataloader(dataset, batch: int, workers: int, shuffle: bool, mode: str
         workers=workers,
         seed=seed,
         drop_last=mode == "train",
+        pad_last=mode != "train",
         process_index=pidx,
         process_count=pcount,
     )

@@ -66,6 +66,21 @@ def _decode_compressed_rle(s: bytes) -> List[int]:
     return counts
 
 
+def mask_to_rle(mask: np.ndarray) -> dict:
+    """(h, w) binary mask -> COCO uncompressed RLE dict (column-major counts),
+    the inverse of ``rle_to_mask``. Used by the validator's COCO-json export
+    (reference pred_to_json emits RLE via pycocotools, segment/val.py:268)."""
+    h, w = mask.shape
+    flat = np.asarray(mask, bool).T.reshape(-1)  # column-major
+    # run-length: counts alternate 0-runs and 1-runs, starting with zeros
+    change = np.nonzero(np.diff(flat))[0] + 1
+    pos = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(pos).tolist()
+    if flat.size and flat[0]:  # must start with a zero-run
+        counts = [0] + counts
+    return {"size": [int(h), int(w)], "counts": [int(c) for c in counts]}
+
+
 def mask_to_polygons(mask: np.ndarray, min_points: int = 6) -> List[np.ndarray]:
     cs, _ = cv2.findContours(mask.astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
     return [c.reshape(-1, 2).astype(np.float32) for c in cs if c.size >= min_points]

@@ -106,6 +106,7 @@ class YOLODataset:
         rect: bool = False,
         seed: int = 0,
         cache: bool = True,
+        cache_images=False,
         kpt_shape=None,
     ):
         self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
@@ -121,6 +122,18 @@ class YOLODataset:
             raise FileNotFoundError(f"no images found in {img_path}")
         self.labels = self._load_labels(cache)
         self.mosaic_enabled = augment
+        # decoded-image cache (reference data/base.py:23-326 cache_images):
+        # 'ram'/True keeps decoded uint8 arrays in memory; 'disk' stores .npy
+        # beside a .img_cache dir and mmap-loads them — on a 1-core TPU host
+        # JPEG decode dominates the input pipeline, so this is the difference
+        # between loader-bound and device-bound training
+        self.cache_images = (
+            "ram" if cache_images is True else (str(cache_images).lower() if cache_images else "")
+        )
+        self._ram: List[Optional[np.ndarray]] = [None] * len(self.im_files)
+        if self.cache_images == "disk":
+            self._disk_dir = Path(self.im_files[0]).parent / ".img_cache"
+            self._disk_dir.mkdir(exist_ok=True)
 
     def _scan(self, img_path, fraction) -> List[str]:
         files: List[str] = []
@@ -181,10 +194,34 @@ class YOLODataset:
         """Disable mosaic/mixup for final epochs (reference trainer.py:304)."""
         self.mosaic_enabled = False
 
-    def load_raw(self, i: int) -> Sample:
+    def _read_image(self, i: int) -> np.ndarray:
+        if self.cache_images == "ram":
+            img = self._ram[i]
+            if img is None:
+                img = cv2.imread(self.im_files[i])
+                if img is None:
+                    raise FileNotFoundError(self.im_files[i])
+                self._ram[i] = img
+            return img
+        if self.cache_images == "disk":
+            f = self._disk_dir / (Path(self.im_files[i]).stem + f"_{i}.npy")
+            if f.exists():
+                return np.load(f, mmap_mode="r")
+            img = cv2.imread(self.im_files[i])
+            if img is None:
+                raise FileNotFoundError(self.im_files[i])
+            try:
+                np.save(f, img)
+            except OSError:
+                pass  # disk full: fall through, keep decoding
+            return img
         img = cv2.imread(self.im_files[i])
         if img is None:
             raise FileNotFoundError(self.im_files[i])
+        return img
+
+    def load_raw(self, i: int) -> Sample:
+        img = np.asarray(self._read_image(i))
         h, w = img.shape[:2]
         lab = self.labels[i]
         xywh = lab["bboxes"] * np.array([w, h, w, h], np.float32)

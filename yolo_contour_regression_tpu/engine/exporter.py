@@ -135,15 +135,54 @@ class Exporter:
                 tfl = conv.convert()
                 path = out_dir / f"{name}.tflite"
                 path.write_bytes(tfl)
-        else:  # onnx
+        else:  # onnx: saved_model -> tf2onnx (reference exporter.py:324-394)
+            # Recipe when tf2onnx/onnx are unavailable in the runtime image
+            # (zero-egress): export format='saved_model' here, then on any
+            # machine with the packages:
+            #   python -m tf2onnx.convert --saved-model <dir> --output m.onnx \
+            #       --opset 12 --rename-outputs output0
+            # The graph already contains the polar decode (and NMS when
+            # nms=True), so the ONNX consumer needs no custom postprocess
+            # beyond thresholding — unlike the reference, which drops decode
+            # at export (head.py:572) and makes consumers reimplement it.
             try:
                 import onnx  # noqa: F401
+                import tf2onnx
             except ImportError as e:
                 raise ImportError(
-                    "onnx export needs the 'onnx' package (not available in this "
-                    "environment); use format='stablehlo' or 'saved_model'"
+                    "onnx export needs the 'onnx' + 'tf2onnx' packages (absent "
+                    "in this environment); use format='saved_model' and run "
+                    "tf2onnx offline — see the recipe in engine/exporter.py"
                 ) from e
-            raise NotImplementedError("onnx path pending tf2onnx availability")
+            import tensorflow as tf
+            from jax.experimental import jax2tf
+
+            const_vars = jax.tree_util.tree_map(np.asarray, variables)
+            tf_fn = jax2tf.convert(lambda x: infer(const_vars, x), with_gradient=False)
+            spec = tf.TensorSpec((batch, imgsz, imgsz, 3), tf.float32, name="images")
+            func = tf.function(tf_fn, input_signature=[spec], autograph=False)
+            path = out_dir / f"{name}.onnx"
+            onnx_model, _ = tf2onnx.convert.from_function(
+                func,
+                input_signature=[spec],
+                opset=int(getattr(self.args, "opset", None) or 12),
+                output_path=str(path),
+            )
+            # reference output naming: output0 (+ output1 for seg protos;
+            # the polar graph is single-output with contours inline)
+            import onnx as onnx_mod
+
+            m = onnx_mod.load(str(path))
+            for i, o in enumerate(m.graph.output):
+                # record original->canonical mapping in metadata_props
+                entry = m.metadata_props.add()
+                entry.key = f"output{i}"
+                entry.value = o.name
+            for k, v in metadata.items():
+                entry = m.metadata_props.add()
+                entry.key = str(k)
+                entry.value = json.dumps(v, default=str)
+            onnx_mod.save(m, str(path))
 
         with open(out_dir / f"{name}.metadata.json", "w") as fh:
             json.dump(metadata, fh, indent=2, default=str)

@@ -21,6 +21,7 @@ from .predictor import (
     BasePredictor,
     ClassificationPredictor,
     PosePredictor,
+    SegmentationOriPredictor,
     SegmentationPredictor,
 )
 from .trainer import (
@@ -28,12 +29,14 @@ from .trainer import (
     ClassificationTrainer,
     DetectionTrainer,
     PoseTrainer,
+    SegmentationOriTrainer,
     SegmentationTrainer,
 )
 from .validator import (
     ClassificationValidator,
     DetectionValidator,
     PoseValidator,
+    SegmentationOriValidator,
     SegmentationValidator,
 )
 
@@ -47,6 +50,11 @@ TASK_MAP: Dict[str, Dict[str, Any]] = {
         "trainer": SegmentationTrainer,
         "validator": SegmentationValidator,
         "predictor": SegmentationPredictor,
+    },
+    "segment_ori": {
+        "trainer": SegmentationOriTrainer,
+        "validator": SegmentationOriValidator,
+        "predictor": SegmentationOriPredictor,
     },
     "classify": {
         "trainer": ClassificationTrainer,
@@ -99,8 +107,6 @@ class YOLO:
     def _new(self, cfg_path: str, task: Optional[str]):
         cfg = yaml_model_load(cfg_path)
         self.task = task if task in TASK_MAP else guess_model_task(cfg)
-        if self.task == "segment_ori":
-            self.task = "segment"
         self.model_cfg = cfg
         self.model = build_model(cfg, task=guess_model_task(cfg))
         self.variables = None

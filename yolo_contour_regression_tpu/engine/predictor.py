@@ -95,7 +95,8 @@ class BasePredictor:
         @jax.jit
         def eval_fn(variables, images):
             pred = model.predict(variables, images)
-            if self.task == "detect":
+            # decode_detect emits xywh (polar decode emits xyxy directly)
+            if self.task in ("detect", "pose"):
                 from ..ops.boxes import xywh2xyxy
 
                 boxes = jnp.transpose(pred[:, :4], (0, 2, 1))
@@ -210,6 +211,71 @@ class ClassificationPredictor(BasePredictor):
             x, _, _ = self.preprocess(orig, self.args.imgsz)
             probs = np.asarray(self._eval_fn(variables, jnp.asarray(x)[None]))[0]
             yield Results(orig, path, names, probs=probs)
+
+
+class SegmentationOriPredictor(BasePredictor):
+    """Stock prototype-mask segmentation predictor (reference
+    models/yolo/segment_ori/predict.py): NMS carries mask coefficients,
+    masks = sigmoid(coeffs @ proto) cropped to each box, upsampled to the
+    native image and thresholded (reference process_mask + scale_image)."""
+
+    task = "segment_ori"
+
+    def _build_eval(self, model):
+        nc = model.nc
+        args = self.args
+
+        @jax.jit
+        def eval_fn(variables, images):
+            from ..ops.boxes import xywh2xyxy
+
+            pred, proto = model.predict(variables, images)
+            boxes = jnp.transpose(pred[:, :4], (0, 2, 1))
+            pred = pred.at[:, :4].set(jnp.transpose(xywh2xyxy(boxes), (0, 2, 1)))
+            out = non_max_suppression(
+                pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
+                iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 1024),
+                max_det=args.max_det, agnostic=args.agnostic_nms,
+            )
+            return {**out, "proto": proto.astype(jnp.float32)}
+
+        return eval_fn
+
+    def postprocess(self, out, bi, orig, path, gain, pad, names):
+        keep = out["valid"][bi]
+        boxes_lb = out["boxes"][bi][keep]  # letterbox px, for the proto crop
+        h, w = orig.shape[:2]
+        boxes = (boxes_lb - np.array([pad[0], pad[1], pad[0], pad[1]])) / gain
+        boxes = np.clip(boxes, 0, [w, h, w, h])
+        data = np.concatenate(
+            [boxes, out["scores"][bi][keep][:, None], out["classes"][bi][keep][:, None]], -1
+        )
+        masks = None
+        coeffs = out["extras"][bi][keep]  # (n, nm)
+        if coeffs.shape[0]:
+            proto = out["proto"][bi]  # (hp, wp, nm)
+            hp, wp = proto.shape[:2]
+            pm = 1.0 / (1.0 + np.exp(-(coeffs @ proto.reshape(-1, proto.shape[-1]).T)))
+            pm = pm.reshape(-1, hp, wp)
+            imgsz = self.args.imgsz
+            r = hp / imgsz
+            bx = boxes_lb * r
+            py = np.arange(hp)[None, :, None]
+            px = np.arange(wp)[None, None, :]
+            inbox = (
+                (px >= bx[:, 0, None, None]) & (px < bx[:, 2, None, None])
+                & (py >= bx[:, 1, None, None]) & (py < bx[:, 3, None, None])
+            )
+            pm = np.where(inbox, pm, 0.0)
+            # proto grid -> letterbox px -> strip pad -> native resolution
+            masks = np.zeros((pm.shape[0], h, w), bool)
+            x0, y0 = int(round(pad[0] * r)), int(round(pad[1] * r))
+            x1 = wp - x0 if x0 else wp
+            y1 = hp - y0 if y0 else hp
+            for i in range(pm.shape[0]):
+                crop = pm[i, y0:y1, x0:x1]
+                masks[i] = cv2.resize(crop, (w, h), interpolation=cv2.INTER_LINEAR) > 0.5
+        return Results(orig, path, names, boxes=data, masks=masks)
 
 
 class PosePredictor(BasePredictor):

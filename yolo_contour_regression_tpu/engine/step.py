@@ -51,11 +51,26 @@ def init_train_state(variables, tx) -> TrainState:
 
 
 def make_loss_fn(model, hyp, cand: int = 128) -> Callable:
-    """(variables, images, batch, train) -> (total, (items, new_batch_stats))."""
+    """(params, batch_stats, images, batch, step) -> (total, (items, stats)).
+    ``step`` seeds per-step randomness (RT-DETR denoising noise)."""
     task = model.task
 
-    def loss_fn(params, batch_stats, images, batch):
+    def loss_fn(params, batch_stats, images, batch, step=0):
         variables = {"params": params, "batch_stats": batch_stats}
+        if task == "rtdetr":
+            # contrastive denoising groups (reference get_cdn_group wiring in
+            # RTDETRDetectionLoss, models/utils/loss.py:295): noised GT copies
+            # ride through the decoder alongside the matching queries
+            from ..models.utils.loss import rtdetr_loss
+            from ..models.utils.ops import get_cdn_group
+
+            key = jax.random.fold_in(jax.random.PRNGKey(17), step)
+            dn = get_cdn_group(batch, model.nc, key)
+            out, new_stats = model.raw_forward(
+                variables, images, train=True, head_extra=dn
+            )
+            total, items = rtdetr_loss(out, batch, model.nc, dn=dn)
+            return total, (items, new_stats)
         out, new_stats = model.raw_forward(variables, images, train=True)
         if task == "segment":
             res = segmentation_loss(out, batch, model.strides, model.nc, hyp, cand=cand)
@@ -70,11 +85,6 @@ def make_loss_fn(model, hyp, cand: int = 128) -> Callable:
                 out, batch, model.strides, model.nc, hyp,
                 nm=model.head_spec.kwargs.get("nm", 32), reg_max=model.reg_max,
             )
-        elif task == "rtdetr":
-            from ..models.utils.loss import rtdetr_loss
-
-            total, items = rtdetr_loss(out, batch, model.nc)
-            return total, (items, new_stats)
         else:
             res = detection_loss(out, batch, model.strides, model.nc, hyp, model.reg_max)
         return res.total, (res.items, new_stats)
@@ -110,7 +120,9 @@ def make_train_step(
             def micro(carry, xs):
                 g_acc, stats = carry
                 im, bt = xs
-                (tot, (items, new_stats)), g = grad_fn(state.params, stats, im, bt)
+                (tot, (items, new_stats)), g = grad_fn(
+                    state.params, stats, im, bt, state.step
+                )
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 return (g_acc, new_stats), (tot, items)
 
@@ -122,7 +134,7 @@ def make_train_step(
             items = jax.tree_util.tree_map(jnp.mean, items)
         else:
             (total, (items, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, images, batch
+                state.params, state.batch_stats, images, batch, state.step
             )
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

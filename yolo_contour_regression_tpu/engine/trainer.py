@@ -331,6 +331,17 @@ class SegmentationTrainer(BaseTrainer):
         return SegmentationValidator(args=copy(self.args))
 
 
+class SegmentationOriTrainer(BaseTrainer):
+    """Stock proto-mask segmentation (reference models/yolo/segment_ori/train.py)."""
+
+    task = "segment_ori"
+
+    def get_validator(self):
+        from .validator import SegmentationOriValidator
+
+        return SegmentationOriValidator(args=copy(self.args))
+
+
 class DetectionTrainer(BaseTrainer):
     task = "detect"
 

@@ -27,9 +27,8 @@ from ..data.build import build_dataloader, build_yolo_dataset
 from ..data.dataset import ClassificationDataset
 from ..data.utils import check_cls_dataset, check_det_dataset
 from ..nn.tasks import build_model
-from ..ops.boxes import box_iou, xywh2xyxy
+from ..ops.boxes import box_iou, scale_boxes, scale_coords, xywh2xyxy
 from ..ops.nms import non_max_suppression
-from ..ops.pallas_raster import fill_polygons_fast as fill_polygons
 from ..utils import LOGGER
 from ..utils.metrics import (
     ClassifyMetrics,
@@ -40,19 +39,49 @@ from ..utils.metrics import (
 )
 
 
-def _append_coco_json(jdict, image_id: int, out, bi: int):
-    """COCO-format prediction rows (reference pred_to_json segment/val.py:268)."""
+def _coco_image_id(im_files, index: int) -> int:
+    """File-stem image id when numeric (COCO convention), else running index."""
+    if im_files is not None and index < len(im_files):
+        stem = Path(im_files[index]).stem
+        if stem.isdigit():
+            return int(stem)
+    return int(index)
+
+
+def _append_coco_json(jdict, image_id: int, out, bi: int, ori_shape=None):
+    """COCO-format prediction rows in NATIVE image space, with RLE
+    segmentation rasterized from the predicted 36-gon contours (reference
+    pred_to_json segment/val.py:268-339 emits RLE via pycocotools)."""
     keep = out["valid"][bi]
     boxes = out["boxes"][bi][keep]
-    for box, score, cls in zip(boxes, out["scores"][bi][keep], out["classes"][bi][keep]):
-        jdict.append(
-            {
-                "image_id": int(image_id),
-                "category_id": int(cls),
-                "bbox": [float(box[0]), float(box[1]), float(box[2] - box[0]), float(box[3] - box[1])],
-                "score": round(float(score), 5),
-            }
-        )
+    pts = out.get("pred_pts")
+    ptsv = out.get("pred_pts_valid")
+    rles = None
+    if pts is not None and ori_shape is not None:
+        import cv2
+
+        from ..data.converter import mask_to_rle
+
+        h0, w0 = int(round(ori_shape[0])), int(round(ori_shape[1]))
+        rles = []
+        for p, v in zip(pts[bi][keep], ptsv[bi][keep]):
+            mask = np.zeros((h0, w0), np.uint8)
+            poly = p[v].astype(np.int32)
+            if poly.shape[0] >= 3:
+                cv2.fillPoly(mask, [poly], 1)
+            rles.append(mask_to_rle(mask))
+    for i, (box, score, cls) in enumerate(
+        zip(boxes, out["scores"][bi][keep], out["classes"][bi][keep])
+    ):
+        row = {
+            "image_id": int(image_id),
+            "category_id": int(cls),
+            "bbox": [float(box[0]), float(box[1]), float(box[2] - box[0]), float(box[3] - box[1])],
+            "score": round(float(score), 5),
+        }
+        if rles is not None:
+            row["segmentation"] = rles[i]
+        jdict.append(row)
 
 
 def _write_coco_json(jdict, project=None, name: str = "predictions.json"):
@@ -74,6 +103,8 @@ class BaseValidator:
         if self.args.conf is None:
             self.args.conf = 0.001  # val default (reference validator.py:99)
         self.speed = {}
+        name = getattr(self.args, "name", None) or f"{self.task}_val"
+        self.save_dir = Path(getattr(self.args, "project", None) or "runs") / name
 
     def build_loader(self, data):
         from copy import copy
@@ -87,61 +118,76 @@ class BaseValidator:
 
 
 class SegmentationValidator(BaseValidator):
-    """Polar-contour mask + box mAP."""
+    """Polar-contour mask + box mAP, matched in NATIVE image space.
+
+    COCO protocol (reference models/yolo/segment/val.py:149-339): predictions
+    are scaled back through the inverse letterbox (scale_boxes, ops.py:872)
+    before TP matching, so mAP is invariant to the letterbox padding. Mask IoU
+    is computed by rasterizing BOTH predicted 36-gons and GT 360-gons in
+    native space onto an RxR grid (R = imgsz/mask_ratio, uniform per-image
+    scale -> IoU equals native-space IoU up to raster resolution) via the
+    streaming ``polygon_mask_iou`` op, which never materializes per-instance
+    full-resolution masks.
+    """
 
     task = "segment"
 
     def _make_eval_fn(self, model, mask_ratio: int, imgsz: int):
+        from ..ops.raster import polygon_mask_iou
+
         max_det = self.args.max_det
         nc = model.nc
-        mh = mw = imgsz // mask_ratio
+        R = max(imgsz // mask_ratio, 8)
 
         @jax.jit
-        def eval_fn(variables, images, gt_cls, gt_bboxes, gt_segments, mask_gt):
-            B = images.shape[0]
+        def eval_fn(variables, images, gt_bboxes, gt_segments, mask_gt, ori_shape, ratio_pad):
             pred = model.predict(variables, images)  # (B, 4+nc+108, A)
             out = non_max_suppression(
                 pred.astype(jnp.float32),
                 nc=nc,
                 conf_thres=self.args.conf,
                 iou_thres=self.args.iou,
-                pre_nms=getattr(self.args, "pre_nms", 1024),
+                pre_nms=getattr(self.args, "pre_nms", 4096),
                 max_det=max_det,
             )
-            # pred contours -> masks at mask_ratio downsample
-            ex = out["extras"]  # (B, max_det, 108)
-            pts = jnp.stack([ex[..., :36], ex[..., 36:72]], -1) / mask_ratio
-            valid_rays = (ex[..., 72:108] > 0.5) & out["valid"][..., None]
-            pred_masks = jax.vmap(lambda p, v: fill_polygons(p, v, mh, mw))(
-                pts, valid_rays
-            )  # (B, max_det, mh, mw)
-            # gt masks from 360-pt contours (normalized -> mask grid)
-            gt_pts = gt_segments * jnp.asarray([mw, mh], jnp.float32)
-            gt_valid = jnp.broadcast_to(mask_gt[..., None], gt_pts.shape[:-1])
-            gt_masks = jax.vmap(lambda p, v: fill_polygons(p, v, mh, mw))(
-                gt_pts, gt_valid
-            )  # (B, N, mh, mw)
+            # pred boxes: letterbox px -> native px, clipped to native
+            # bounds; GT: normalized letterbox -> native px
+            boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
+            gt_nat = scale_boxes(
+                xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+            )
+            ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)  # (B, N, max_det)
 
-            # IoU matrices on device
-            gt_xyxy = xywh2xyxy(gt_bboxes) * imgsz
-            ious_box = jax.vmap(box_iou)(gt_xyxy, out["boxes"])  # (B, N, max_det)
-            pm = pred_masks.reshape(B, max_det, -1).astype(jnp.float32)
-            gm = gt_masks.reshape(B, gt_masks.shape[1], -1).astype(jnp.float32)
-            inter = jnp.einsum("bnp,bmp->bnm", gm, pm)
-            union = gm.sum(-1)[:, :, None] + pm.sum(-1)[:, None, :] - inter
-            ious_mask = inter / (union + 1e-7)
+            # contours -> native px
+            ex = out["extras"]  # (B, max_det, 108)
+            ppts = scale_coords(
+                jnp.stack([ex[..., :36], ex[..., 36:72]], -1), ratio_pad
+            )
+            pvalid = (ex[..., 72:108] > 0.5) & out["valid"][..., None]
+            gpts = scale_coords(gt_segments * images.shape[1], ratio_pad)
+            gvalid = jnp.broadcast_to(mask_gt[..., None], gpts.shape[:-1])
+            # uniform per-image scale onto the R x R raster grid
+            s = (R / jnp.maximum(ori_shape.max(-1), 1.0))[:, None, None, None]
+            ious_mask = jax.vmap(
+                lambda gp, gv, pp, pv: polygon_mask_iou(gp, gv, pp, pv, R, R)
+            )(gpts * s, gvalid, ppts * s, pvalid)
             return {
-                "boxes": out["boxes"],
+                "boxes": boxes_nat,
                 "scores": out["scores"],
                 "classes": out["classes"],
                 "valid": out["valid"],
                 "ious_box": ious_box,
                 "ious_mask": ious_mask,
+                "gt_boxes": gt_nat,
+                "pred_pts": ppts,
+                "pred_pts_valid": pvalid,
             }
 
         return eval_fn
 
     def __call__(self, model=None, variables=None, data=None, loader=None) -> Dict[str, float]:
+        from ..utils.metrics import ConfusionMatrix
+
         args = self.args
         if isinstance(data, (str, Path)):
             data = check_det_dataset(data)
@@ -149,30 +195,31 @@ class SegmentationValidator(BaseValidator):
             raise ValueError("validator needs a model")
         if loader is None:
             loader = self.build_loader(data)
-        metrics = SegmentMetrics(names=getattr(model, "names", {}))
+        names = getattr(model, "names", {}) or {}
+        metrics = SegmentMetrics(names=names)
+        cm = ConfusionMatrix(model.nc)
         mask_ratio = getattr(args, "mask_ratio", 4) or 4
         eval_fn = self._make_eval_fn(model, mask_ratio, args.imgsz)
+        im_files = getattr(getattr(loader, "dataset", None), "im_files", None)
 
         n_img = 0
         t0 = time.time()
         jdict = []
         for batch in loader:
+            B = batch["img"].shape[0]
+            nv = min(int(batch.pop("n_valid", B)), B)
             images = jnp.asarray(batch["img"])
             out = eval_fn(
                 variables,
                 images,
-                jnp.asarray(batch["cls"]),
                 jnp.asarray(batch["bboxes"]),
                 jnp.asarray(batch["segments"]),
                 jnp.asarray(batch["mask_gt"]),
+                jnp.asarray(batch["ori_shape"]),
+                jnp.asarray(batch["ratio_pad"]),
             )
             out = {k: np.asarray(v) for k, v in out.items()}
-            B = images.shape[0]
-            for bi in range(B):
-                if args.save_json:
-                    _append_coco_json(jdict, n_img + bi, out, bi)
-            n_img += B
-            for bi in range(B):
+            for bi in range(nv):
                 keep = out["valid"][bi]
                 gt_keep = batch["mask_gt"][bi]
                 pred_cls = out["classes"][bi][keep]
@@ -184,11 +231,33 @@ class SegmentationValidator(BaseValidator):
                 tp_m = match_predictions(pred_cls, tcls, iou_m)
                 metrics.box.update(tp_b, conf, pred_cls, tcls)
                 metrics.seg.update(tp_m, conf, pred_cls, tcls)
+                cm.process_batch(
+                    out["boxes"][bi][keep], pred_cls, conf,
+                    out["gt_boxes"][bi][gt_keep], tcls,
+                )
+                if args.save_json:
+                    _append_coco_json(
+                        jdict, _coco_image_id(im_files, n_img + bi), out, bi,
+                        ori_shape=batch["ori_shape"][bi],
+                    )
+            n_img += nv
         metrics.process()
         dt = time.time() - t0
         res = metrics.results_dict
         if args.save_json and jdict:
             _write_coco_json(jdict, getattr(args, "project", None))
+        if getattr(args, "plots", False):
+            from ..utils.plotting import plot_pr_curve
+
+            cm.plot(self.save_dir, names)
+            for m, tag in ((metrics.box, "B"), (metrics.seg, "M")):
+                if m.results.get("pr_curve") is not None and m.results.get("ap") is not None:
+                    rx, pc = m.results["pr_curve"]
+                    plot_pr_curve(
+                        rx, pc, m.results["ap"][:, 0],
+                        self.save_dir / f"PR_curve_{tag}.png",
+                        names=names, classes=m.results["classes"],
+                    )
         LOGGER.info(
             f"val: {n_img} imgs  box mAP50-95 {res['metrics/mAP50-95(B)']:.4f}  "
             f"mask mAP50-95 {res['metrics/mAP50-95(M)']:.4f}  ({dt:.1f}s)"
@@ -196,7 +265,139 @@ class SegmentationValidator(BaseValidator):
         return res
 
 
+class SegmentationOriValidator(BaseValidator):
+    """Stock prototype-mask segmentation validation (reference
+    models/yolo/segment_ori/val.py ~357 LoC): NMS carries the nm mask
+    coefficients, masks = sigmoid(coeffs @ proto) cropped to each box and
+    thresholded at 0.5 (reference process_mask, utils/ops.py:716-851), box TP
+    in native space, mask TP at proto resolution in letterbox space (the
+    reference protocol; letterboxing both masks identically makes the IoU a
+    uniform rescale of native space, so padding does not bias it)."""
+
+    task = "segment_ori"
+
+    def _make_eval_fn(self, model, imgsz: int):
+        from ..ops.raster import fill_polygons
+
+        max_det = self.args.max_det
+        nc = model.nc
+        nm = model.head_spec.kwargs.get("nm", 32)
+
+        @jax.jit
+        def eval_fn(variables, images, gt_bboxes, gt_segments, mask_gt, ori_shape, ratio_pad):
+            pred, proto = model.predict(variables, images)  # (B,4+nc+nm,A), (B,hp,wp,nm)
+            boxes_xywh = pred[:, :4]
+            pred = pred.at[:, :4].set(
+                jnp.transpose(xywh2xyxy(jnp.transpose(boxes_xywh, (0, 2, 1))), (0, 2, 1))
+            )
+            out = non_max_suppression(
+                pred.astype(jnp.float32), nc=nc, conf_thres=self.args.conf,
+                iou_thres=self.args.iou, pre_nms=getattr(self.args, "pre_nms", 4096),
+                max_det=max_det,
+            )
+            boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
+            gt_nat = scale_boxes(
+                xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+            )
+            ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)
+
+            # process_mask (reference ops.py:716): sigmoid(coeffs @ proto),
+            # crop to the pred box (proto coords), threshold 0.5
+            hp, wp = proto.shape[1], proto.shape[2]
+            coeffs = out["extras"].astype(jnp.float32)  # (B, D, nm)
+            pm = jax.nn.sigmoid(jnp.einsum("bdm,bhwm->bdhw", coeffs, proto.astype(jnp.float32)))
+            r = hp / images.shape[1]
+            bx = out["boxes"] * r  # letterbox px -> proto grid
+            py = jnp.arange(hp, dtype=jnp.float32)[None, None, :, None]
+            px = jnp.arange(wp, dtype=jnp.float32)[None, None, None, :]
+            inbox = (
+                (px >= bx[..., 0, None, None]) & (px < bx[..., 2, None, None])
+                & (py >= bx[..., 1, None, None]) & (py < bx[..., 3, None, None])
+            )
+            pm = (pm > 0.5) & inbox & out["valid"][..., None, None]
+
+            # GT masks at proto res from the 360-pt contours
+            gpts = gt_segments * jnp.asarray([wp, hp], jnp.float32)
+            gvalid = jnp.broadcast_to(mask_gt[..., None], gpts.shape[:-1])
+            gm = jax.vmap(lambda p, v: fill_polygons(p, v, hp, wp))(gpts, gvalid)
+
+            pmf = pm.reshape(*pm.shape[:2], -1).astype(jnp.float32)
+            gmf = gm.reshape(*gm.shape[:2], -1).astype(jnp.float32)
+            inter = jnp.einsum("bnp,bdp->bnd", gmf, pmf)
+            union = gmf.sum(-1)[:, :, None] + pmf.sum(-1)[:, None, :] - inter
+            ious_mask = inter / (union + 1e-7)
+            return {
+                "boxes": boxes_nat,
+                "scores": out["scores"],
+                "classes": out["classes"],
+                "valid": out["valid"],
+                "ious_box": ious_box,
+                "ious_mask": ious_mask,
+                "gt_boxes": gt_nat,
+            }
+
+        return eval_fn
+
+    def __call__(self, model=None, variables=None, data=None, loader=None) -> Dict[str, float]:
+        from ..utils.metrics import ConfusionMatrix
+
+        args = self.args
+        if isinstance(data, (str, Path)):
+            data = check_det_dataset(data)
+        if model is None:
+            raise ValueError("validator needs a model")
+        if loader is None:
+            loader = self.build_loader(data)
+        names = getattr(model, "names", {}) or {}
+        metrics = SegmentMetrics(names=names)
+        cm = ConfusionMatrix(model.nc)
+        eval_fn = self._make_eval_fn(model, args.imgsz)
+
+        n_img = 0
+        t0 = time.time()
+        for batch in loader:
+            B = batch["img"].shape[0]
+            nv = min(int(batch.pop("n_valid", B)), B)
+            images = jnp.asarray(batch["img"])
+            out = eval_fn(
+                variables, images,
+                jnp.asarray(batch["bboxes"]),
+                jnp.asarray(batch["segments"]),
+                jnp.asarray(batch["mask_gt"]),
+                jnp.asarray(batch["ori_shape"]),
+                jnp.asarray(batch["ratio_pad"]),
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for bi in range(nv):
+                keep = out["valid"][bi]
+                gt_keep = batch["mask_gt"][bi]
+                pred_cls = out["classes"][bi][keep]
+                conf = out["scores"][bi][keep]
+                tcls = batch["cls"][bi][gt_keep]
+                tp_b = match_predictions(pred_cls, tcls, out["ious_box"][bi][gt_keep][:, keep])
+                tp_m = match_predictions(pred_cls, tcls, out["ious_mask"][bi][gt_keep][:, keep])
+                metrics.box.update(tp_b, conf, pred_cls, tcls)
+                metrics.seg.update(tp_m, conf, pred_cls, tcls)
+                cm.process_batch(
+                    out["boxes"][bi][keep], pred_cls, conf,
+                    out["gt_boxes"][bi][gt_keep], tcls,
+                )
+            n_img += nv
+        metrics.process()
+        res = metrics.results_dict
+        if getattr(args, "plots", False):
+            cm.plot(self.save_dir, names)
+        LOGGER.info(
+            f"val(segment_ori): {n_img} imgs  box mAP50-95 {res['metrics/mAP50-95(B)']:.4f}  "
+            f"mask mAP50-95 {res['metrics/mAP50-95(M)']:.4f}  ({time.time() - t0:.1f}s)"
+        )
+        return res
+
+
 class DetectionValidator(BaseValidator):
+    """Box mAP matched in native image space (reference
+    models/yolo/detect/val.py + ops.py:872 scale_boxes)."""
+
     task = "detect"
 
     def _make_eval_fn(self, model, imgsz: int):
@@ -204,7 +405,7 @@ class DetectionValidator(BaseValidator):
         max_det = self.args.max_det
 
         @jax.jit
-        def eval_fn(variables, images, gt_bboxes):
+        def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
             pred = model.predict(variables, images)  # (B, 4+nc, A) xywh
             boxes_xywh = pred[:, :4]
             pred = pred.at[:, :4].set(
@@ -214,48 +415,81 @@ class DetectionValidator(BaseValidator):
             )
             out = non_max_suppression(
                 pred.astype(jnp.float32), nc=nc, conf_thres=self.args.conf,
-                iou_thres=self.args.iou, pre_nms=getattr(self.args, "pre_nms", 1024),
+                iou_thres=self.args.iou, pre_nms=getattr(self.args, "pre_nms", 4096),
                 max_det=max_det,
             )
-            gt_xyxy = xywh2xyxy(gt_bboxes) * imgsz
-            ious_box = jax.vmap(box_iou)(gt_xyxy, out["boxes"])
+            boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
+            gt_nat = scale_boxes(
+                xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+            )
+            ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)
             return {
-                "boxes": out["boxes"], "scores": out["scores"],
+                "boxes": boxes_nat, "scores": out["scores"],
                 "classes": out["classes"], "valid": out["valid"],
-                "ious_box": ious_box,
+                "ious_box": ious_box, "gt_boxes": gt_nat,
             }
 
         return eval_fn
 
     def __call__(self, model=None, variables=None, data=None, loader=None) -> Dict[str, float]:
+        from ..utils.metrics import ConfusionMatrix
+
         args = self.args
         if isinstance(data, (str, Path)):
             data = check_det_dataset(data)
         if loader is None:
             loader = self.build_loader(data)
-        metrics = DetMetrics(names=getattr(model, "names", {}))
+        names = getattr(model, "names", {}) or {}
+        metrics = DetMetrics(names=names)
+        cm = ConfusionMatrix(model.nc)
         eval_fn = self._make_eval_fn(model, args.imgsz)
+        im_files = getattr(getattr(loader, "dataset", None), "im_files", None)
         n_img = 0
         t0 = time.time()
+        jdict = []
         for batch in loader:
+            B = batch["img"].shape[0]
+            nv = min(int(batch.pop("n_valid", B)), B)
             images = jnp.asarray(batch["img"])
-            out = eval_fn(variables, images, jnp.asarray(batch["bboxes"]))
+            out = eval_fn(
+                variables, images, jnp.asarray(batch["bboxes"]),
+                jnp.asarray(batch["ori_shape"]), jnp.asarray(batch["ratio_pad"]),
+            )
             out = {k: np.asarray(v) for k, v in out.items()}
-            for bi in range(images.shape[0]):
+            for bi in range(nv):
                 keep = out["valid"][bi]
                 gt_keep = batch["mask_gt"][bi]
+                pred_cls = out["classes"][bi][keep]
+                conf = out["scores"][bi][keep]
+                tcls = batch["cls"][bi][gt_keep]
                 tp = match_predictions(
-                    out["classes"][bi][keep],
-                    batch["cls"][bi][gt_keep],
-                    out["ious_box"][bi][gt_keep][:, keep],
+                    pred_cls, tcls, out["ious_box"][bi][gt_keep][:, keep]
                 )
-                metrics.box.update(
-                    tp, out["scores"][bi][keep], out["classes"][bi][keep],
-                    batch["cls"][bi][gt_keep],
+                metrics.box.update(tp, conf, pred_cls, tcls)
+                cm.process_batch(
+                    out["boxes"][bi][keep], pred_cls, conf,
+                    out["gt_boxes"][bi][gt_keep], tcls,
                 )
-            n_img += images.shape[0]
+                if args.save_json:
+                    _append_coco_json(
+                        jdict, _coco_image_id(im_files, n_img + bi), out, bi
+                    )
+            n_img += nv
         metrics.process()
         res = metrics.results_dict
+        if args.save_json and jdict:
+            _write_coco_json(jdict, getattr(args, "project", None))
+        if getattr(args, "plots", False):
+            from ..utils.plotting import plot_pr_curve
+
+            cm.plot(self.save_dir, names)
+            m = metrics.box
+            if m.results.get("pr_curve") is not None and m.results.get("ap") is not None:
+                rx, pc = m.results["pr_curve"]
+                plot_pr_curve(
+                    rx, pc, m.results["ap"][:, 0], self.save_dir / "PR_curve.png",
+                    names=names, classes=m.results["classes"],
+                )
         LOGGER.info(
             f"val: {n_img} imgs  box mAP50-95 {res['metrics/mAP50-95(B)']:.4f}  "
             f"({time.time() - t0:.1f}s)"
@@ -287,7 +521,7 @@ class PoseValidator(DetectionValidator):
         max_det = args.max_det
 
         @jax.jit
-        def eval_fn(variables, images, gt_bboxes):
+        def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
             pred = model.predict(variables, images)  # (B, 4+nc+nk, A)
             boxes_xywh = pred[:, :4]
             pred = pred.at[:, :4].set(
@@ -295,21 +529,35 @@ class PoseValidator(DetectionValidator):
             )
             out = non_max_suppression(
                 pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
-                iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 1024),
+                iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 4096),
                 max_det=max_det,
             )
-            gt_xyxy = xywh2xyxy(gt_bboxes) * imgsz
-            ious_box = jax.vmap(box_iou)(gt_xyxy, out["boxes"])
-            return {**out, "ious_box": ious_box}
+            boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
+            gt_nat = scale_boxes(
+                xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+            )
+            ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)
+            # keypoints: letterbox px -> native px
+            k = out["extras"].reshape(*out["extras"].shape[:2], kpt_shape[0], kpt_shape[1])
+            k = k.at[..., :2].set(scale_coords(k[..., :2], ratio_pad))
+            return {
+                **out, "boxes": boxes_nat, "gt_boxes": gt_nat,
+                "ious_box": ious_box, "kpts": k,
+            }
 
         t0 = time.time()
         n_img = 0
         for batch in loader:
+            B = batch["img"].shape[0]
+            nv = min(int(batch.pop("n_valid", B)), B)
             images = jnp.asarray(batch["img"])
-            out = eval_fn(variables, images, jnp.asarray(batch["bboxes"]))
+            out = eval_fn(
+                variables, images, jnp.asarray(batch["bboxes"]),
+                jnp.asarray(batch["ori_shape"]), jnp.asarray(batch["ratio_pad"]),
+            )
             out = {k: np.asarray(v) for k, v in out.items()}
-            n_img += images.shape[0]
-            for bi in range(images.shape[0]):
+            n_img += nv
+            for bi in range(nv):
                 keep = out["valid"][bi]
                 gt_keep = batch["mask_gt"][bi]
                 pred_cls = out["classes"][bi][keep]
@@ -320,13 +568,12 @@ class PoseValidator(DetectionValidator):
                 )
                 metrics.box.update(tp_b, conf, pred_cls, tcls)
                 if "keypoints" in batch:
-                    pk = out["extras"][bi][keep].reshape(-1, *kpt_shape)
+                    gain_i, (padx, pady) = batch["ratio_pad"][bi][0], batch["ratio_pad"][bi][1:3]
+                    pk = out["kpts"][bi][keep]
                     gk = batch["keypoints"][bi][gt_keep].copy()
-                    gk[..., 0] *= imgsz
-                    gk[..., 1] *= imgsz
-                    gb = np.asarray(
-                        xywh2xyxy(jnp.asarray(batch["bboxes"][bi][gt_keep])) * imgsz
-                    )
+                    gk[..., 0] = (gk[..., 0] * imgsz - padx) / gain_i
+                    gk[..., 1] = (gk[..., 1] * imgsz - pady) / gain_i
+                    gb = out["gt_boxes"][bi][gt_keep]
                     area = np.clip(
                         (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]) * 0.53, 1, None
                     )
@@ -363,9 +610,11 @@ class ClassificationValidator(BaseValidator):
         t0 = time.time()
         n = 0
         for batch in loader:
+            B = batch["img"].shape[0]
+            nv = min(int(batch.pop("n_valid", B)), B)
             preds = np.asarray(eval_fn(variables, jnp.asarray(batch["img"])))
-            metrics.update(preds, np.asarray(batch["cls"]))
-            n += preds.shape[0]
+            metrics.update(preds[:nv], np.asarray(batch["cls"])[:nv])
+            n += nv
         res = metrics.results_dict
         LOGGER.info(
             f"val: {n} imgs  top1 {res['metrics/accuracy_top1']:.4f}  "

@@ -10,8 +10,8 @@ TPU note: the cost matrix and all losses are computed on device; only the
 O(nq * n_gt) Hungarian solve itself runs on host via ``jax.pure_callback``
 (scipy.optimize.linear_sum_assignment) — a few microseconds of scalar work
 per image that has no dense-tensor formulation XLA could win on. Contrastive
-denoising (get_cdn_group, ops.py:260) is scheduled for round 2 and documented
-as absent.
+denoising (reference get_cdn_group, ops.py:260) is implemented fixed-shape in
+``models/utils/ops.py`` and consumed here by ``detr_dn_layer_loss``.
 """
 from __future__ import annotations
 
@@ -122,21 +122,61 @@ def detr_layer_loss(
     return loss_cls, loss_l1, loss_giou
 
 
+def detr_dn_layer_loss(
+    pb, pl, gt_boxes, gt_labels, mask_gt, nc: int,
+    alpha: float = 0.25, gamma: float = 2.0,
+):
+    """Denoising losses for one layer with the KNOWN dn->gt assignment
+    (reference get_dn_match_indices, models/utils/ops.py:236): dn query
+    (group g, positive slot, gt n) is matched to gt n; the negative slot is
+    background. pb (B, G, 2, N, 4), pl (B, G, 2, N, nc)."""
+    B, G, _, N, _ = pb.shape
+    n_gt = jnp.maximum(mask_gt.sum() * G, 1.0)
+    gt_b = jnp.broadcast_to(gt_boxes[:, None], (B, G, N, 4))
+    gt_c = jnp.broadcast_to(gt_labels[:, None], (B, G, N))
+    m = jnp.broadcast_to(mask_gt[:, None], (B, G, N))
+
+    pos_b, pos_l = pb[:, :, 0], pl[:, :, 0]
+    neg_l = pl[:, :, 1]
+    iou = jnp.clip(bbox_iou(xywh2xyxy(pos_b), xywh2xyxy(gt_b), xywh=False), 0, 1)
+    t_pos = jax.nn.one_hot(gt_c, nc) * (iou * m)[..., None]
+
+    def vfl(logits, t):
+        prob = jax.nn.sigmoid(logits)
+        weight = jnp.where(t > 0, t, alpha * (prob**gamma))
+        bce = -(t * jnp.log(prob + 1e-8) + (1 - t) * jnp.log(1 - prob + 1e-8))
+        return (bce * weight).sum()
+
+    loss_cls = (vfl(pos_l, t_pos) + vfl(neg_l, jnp.zeros_like(t_pos))) / n_gt
+    loss_l1 = (jnp.abs(pos_b - gt_b).sum(-1) * m).sum() / n_gt
+    giou = bbox_iou(xywh2xyxy(pos_b), xywh2xyxy(gt_b), xywh=False, GIoU=True)
+    loss_giou = ((1.0 - giou) * m).sum() / n_gt
+    return loss_cls, loss_l1, loss_giou
+
+
 def rtdetr_loss(
     outs: Tuple,
     batch: Dict[str, jnp.ndarray],
     nc: int,
+    dn: Dict[str, jnp.ndarray] = None,
     gain_class: float = 1.0,
     gain_bbox: float = 5.0,
     gain_giou: float = 2.0,
 ):
     """Full RT-DETR criterion over all decoder layers + encoder proposals
-    (reference RTDETRDetectionLoss.__call__). batch boxes are normalized
-    cxcywh. Returns (total, items)."""
+    (reference RTDETRDetectionLoss.__call__), plus the contrastive-denoising
+    losses when ``dn`` (the get_cdn_group dict) is given — the decoder's
+    leading dn_q = G*2*N queries are the dn groups, the rest are matching
+    queries. batch boxes are normalized cxcywh. Returns (total, items)."""
     dec_bboxes, dec_scores, enc_bboxes, enc_scores = outs
     gt_boxes = batch["bboxes"].astype(jnp.float32)
     gt_labels = batch["cls"].astype(jnp.int32)
     mask_gt = batch["mask_gt"].astype(bool)
+
+    dn_q = 0
+    if dn is not None:
+        _, G, two, N = dn["labels"].shape
+        dn_q = G * two * N
 
     def one(pb, pl):
         cost = match_cost(
@@ -147,12 +187,21 @@ def rtdetr_loss(
         return detr_layer_loss(pb, pl, gt_boxes, gt_labels, mask_gt, assign, nc)
 
     totals = {"cls_loss": 0.0, "l1_loss": 0.0, "giou_loss": 0.0}
+    dn_totals = {"dn_cls_loss": 0.0, "dn_l1_loss": 0.0, "dn_giou_loss": 0.0}
     L = dec_bboxes.shape[0]
     for i in range(L):
-        lc, l1, lg = one(dec_bboxes[i], dec_scores[i])
+        lc, l1, lg = one(dec_bboxes[i][:, dn_q:], dec_scores[i][:, dn_q:])
         totals["cls_loss"] += lc
         totals["l1_loss"] += l1
         totals["giou_loss"] += lg
+        if dn_q:
+            B = dec_bboxes.shape[1]
+            pb = dec_bboxes[i][:, :dn_q].reshape(B, G, two, N, 4)
+            pl = dec_scores[i][:, :dn_q].reshape(B, G, two, N, nc)
+            dc, d1, dg = detr_dn_layer_loss(pb, pl, gt_boxes, gt_labels, mask_gt, nc)
+            dn_totals["dn_cls_loss"] += dc
+            dn_totals["dn_l1_loss"] += d1
+            dn_totals["dn_giou_loss"] += dg
     lc, l1, lg = one(enc_bboxes, enc_scores)
     totals["cls_loss"] += lc
     totals["l1_loss"] += l1
@@ -164,5 +213,13 @@ def rtdetr_loss(
         "l1_loss": totals["l1_loss"] * gain_bbox / n_layers,
         "giou_loss": totals["giou_loss"] * gain_giou / n_layers,
     }
+    if dn_q:
+        items.update(
+            {
+                "dn_cls_loss": dn_totals["dn_cls_loss"] * gain_class / L,
+                "dn_l1_loss": dn_totals["dn_l1_loss"] * gain_bbox / L,
+                "dn_giou_loss": dn_totals["dn_giou_loss"] * gain_giou / L,
+            }
+        )
     total = sum(items.values())
     return total, items

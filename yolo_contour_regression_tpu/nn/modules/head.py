@@ -238,9 +238,12 @@ class RTDETRDecoder(nn.Module):
     decoder stack with iterative box refinement.
 
     Eval output: (B, nq, 4 + nc) — normalized cxcywh + sigmoid scores.
-    Training returns (dec_bboxes, dec_scores, enc_bboxes, enc_scores) for the
-    Hungarian criterion (contrastive denoising groups land with the RT-DETR
-    trainer; see models/rtdetr)."""
+    Training returns (dec_bboxes, dec_scores, enc_bboxes, enc_scores); with a
+    ``dn`` dict (models/utils/ops.py get_cdn_group: contrastive-denoising
+    groups, reference ops.py:260), the dn queries are prepended to the
+    matching queries with a block-diagonal self-attention mask — matching
+    queries never see dn queries, dn groups never see each other — and the
+    decoder outputs cover dn + matching so the criterion can split them."""
 
     nc: int = 80
     hd: int = 256
@@ -252,7 +255,7 @@ class RTDETRDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False, dn=None):
         from .transformer import (
             MLP,
             DeformableTransformerDecoderLayer,
@@ -302,8 +305,35 @@ class RTDETRDecoder(nn.Module):
         enc_scores = jnp.take_along_axis(enc_scores_all, topk_ind[..., None], axis=1)
 
         embed = jax.lax.stop_gradient(top_feats) if train else top_feats
-        refer = jax.lax.stop_gradient(refer_logit) if train else refer_logit
-        refer = nn.sigmoid(refer)
+        refer_l = jax.lax.stop_gradient(refer_logit) if train else refer_logit
+
+        attn_mask = None
+        if train and dn is not None:
+            # prepend denoising queries (reference head.py:964 torch.cat of
+            # dn_embed/dn_bbox before the matching queries)
+            B_, G, two, N = dn["labels"].shape
+            dn_q = G * two * N
+            dn_embed = nn.Embed(
+                self.nc, self.hd, dtype=self.dtype, name="denoising_class_embed"
+            )(jnp.clip(dn["labels"], 0, self.nc - 1)).reshape(B_, dn_q, self.hd)
+            dn_bbox = dn["boxes_logit"].reshape(B_, dn_q, 4).astype(embed.dtype)
+            embed = jnp.concatenate([dn_embed, embed], axis=1)
+            refer_l = jnp.concatenate([dn_bbox, refer_l], axis=1)
+            # block-diagonal self-attention mask (True = may attend):
+            # matching rows see only matching; dn rows see own group + matching
+            total = dn_q + nq
+            gid = jnp.repeat(jnp.arange(G), two * N)  # (dn_q,)
+            row_g = jnp.concatenate([gid, jnp.full((nq,), -1)])
+            is_match = row_g < 0
+            same_group = row_g[:, None] == row_g[None, :]
+            allow = (
+                (is_match[:, None] & is_match[None, :])  # match <-> match
+                | (~is_match[:, None] & is_match[None, :])  # dn -> match
+                | (same_group & ~is_match[:, None])  # dn -> own group
+            )
+            attn_mask = allow[None, None]  # (1, 1, Q, Q) broadcasts over B, heads
+
+        refer = nn.sigmoid(refer_l)
 
         dec_bboxes, dec_scores = [], []
         query_pos_head = MLP(2 * self.hd, self.hd, 2, dtype=self.dtype, name="query_pos_head")
@@ -311,7 +341,8 @@ class RTDETRDecoder(nn.Module):
             embed = DeformableTransformerDecoderLayer(
                 self.hd, self.nh, self.d_ffn, nl, self.ndp, dtype=self.dtype,
                 name=f"dec_layer{i}",
-            )(embed, refer, feats_flat, shapes, query_pos=query_pos_head(refer))
+            )(embed, refer, feats_flat, shapes, attn_mask=attn_mask,
+              query_pos=query_pos_head(refer))
             delta = MLP(self.hd, 4, 3, dtype=self.dtype, name=f"dec_bbox_head{i}")(embed)
             refined = nn.sigmoid(delta + inverse_sigmoid(refer))
             # score head applied every layer so train/eval share one param

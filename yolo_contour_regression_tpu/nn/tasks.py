@@ -246,7 +246,7 @@ class GraphModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, head_extra=None):
         specs, save, head_spec = parse_model(unfreeze_cfg(self.cfg), ch=x.shape[-1])
         y: Dict[int, Any] = {}
         out = x
@@ -263,7 +263,11 @@ class GraphModel(nn.Module):
                 reps = spec.kwargs.get("_repeats", 1)
                 for r in range(reps):
                     mod = _build_module(spec, self.dtype, name=f"layer{spec.i}" + (f"_{r}" if reps > 1 else ""))
-                    out = mod(inp if r == 0 else out, train=train)
+                    if head_extra is not None and spec is head_spec:
+                        # extra head-only input (RT-DETR denoising groups)
+                        out = mod(inp if r == 0 else out, train=train, dn=head_extra)
+                    else:
+                        out = mod(inp if r == 0 else out, train=train)
                     inp = out
             if spec.i in save:
                 y[spec.i] = out
@@ -373,10 +377,17 @@ class BaseModel:
             return tuple(imgsz // o.shape[1] for o in outs)
         return (8, 16, 32)
 
+    def _init_head_extra(self):
+        """Extra head input needed at init so every train-time param exists
+        (RT-DETR's denoising embed); None for anchor heads."""
+        return None
+
     def init(self, rng=None, imgsz: int = 640):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        extra = self._init_head_extra()
         variables = self.module.init(
-            {"params": rng}, jnp.zeros((1, imgsz, imgsz, 3), jnp.float32), train=False
+            {"params": rng}, jnp.zeros((1, imgsz, imgsz, 3), jnp.float32),
+            train=extra is not None, head_extra=extra,
         )
         variables = jax.tree_util.tree_map(lambda x: x, variables)  # materialize
         if self.head_spec.kind == "head":
@@ -405,11 +416,13 @@ class BaseModel:
         return variables
 
     # -- pure forward fns (use under jit) ----------------------------------
-    def raw_forward(self, variables, x, train: bool = False):
-        """x (B, H, W, 3) -> head raw output (+ new batch stats if train)."""
+    def raw_forward(self, variables, x, train: bool = False, head_extra=None):
+        """x (B, H, W, 3) -> head raw output (+ new batch stats if train).
+        ``head_extra`` reaches the head module only (RT-DETR dn groups)."""
         if train:
             out, mut = self.module.apply(
-                variables, x, train=True, mutable=["batch_stats"]
+                variables, x, train=True, head_extra=head_extra,
+                mutable=["batch_stats"],
             )
             return out, mut["batch_stats"]
         return self.module.apply(variables, x, train=False)
@@ -493,6 +506,13 @@ class RTDETRDetectionModel(BaseModel):
 
     def _calibrate_strides(self, imgsz: int = 256):
         return (8, 16, 32)  # decoder head; strides only used for logging
+
+    def _init_head_extra(self):
+        # minimal dn group so denoising_class_embed exists in the param tree
+        return {
+            "labels": jnp.zeros((1, 1, 2, 1), jnp.int32),
+            "boxes_logit": jnp.zeros((1, 1, 2, 1, 4), jnp.float32),
+        }
 
     def decode(self, outs):
         return outs  # (B, nq, 4+nc)

@@ -111,6 +111,35 @@ def bbox_ioa(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = EPS) -> jnp.ndar
     return inter / (box_area(box2)[None, :] + eps)
 
 
+def scale_boxes(boxes: jnp.ndarray, ratio_pad: jnp.ndarray, ori_shape: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-letterbox xyxy boxes to native image space, clipped
+    (reference utils/ops.py:872 scale_boxes).
+
+    boxes (..., M, 4) in letterbox px; ratio_pad (..., 3) = (gain, pad_x,
+    pad_y); ori_shape (..., 2) = (h0, w0). Leading dims broadcast (use (B,...)
+    for a batch)."""
+    gain = ratio_pad[..., 0][..., None, None]
+    pad = ratio_pad[..., 1:3]
+    pad4 = jnp.concatenate([pad, pad], -1)[..., None, :]
+    out = (boxes - pad4) / gain
+    wh0 = ori_shape[..., ::-1]
+    lim = jnp.concatenate([wh0, wh0], -1)[..., None, :]
+    return jnp.clip(out, 0.0, lim)
+
+
+def scale_coords(coords: jnp.ndarray, ratio_pad: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-letterbox xy point sets to native image space (reference
+    utils/ops.py:898 scale_coords; no clipping — polygon vertices may sit
+    outside the image and still rasterize correctly).
+
+    coords (..., P, 2) letterbox px; ratio_pad (..., 3) broadcast over the
+    leading dims (a (B, 3) batch pairs with (B, N, P, 2) coords)."""
+    extra = coords.ndim - ratio_pad.ndim - 1
+    gain = ratio_pad[..., 0].reshape(ratio_pad.shape[:-1] + (1,) * (extra + 2))
+    pad = ratio_pad[..., 1:3].reshape(ratio_pad.shape[:-1] + (1,) * (extra + 1) + (2,))
+    return (coords - pad) / gain
+
+
 def clip_boxes(boxes: jnp.ndarray, hw) -> jnp.ndarray:
     """Clip xyxy boxes to image bounds (h, w)."""
     h, w = hw
@@ -133,33 +162,13 @@ def clip_coords(coords: jnp.ndarray, hw) -> jnp.ndarray:
     )
 
 
-def scale_boxes(boxes, from_hw, to_hw, ratio_pad=None):
-    """Undo letterboxing: map xyxy boxes from model-input space to original image.
-
-    Reference semantics: ops.py scale_boxes — gain = min(from/to), pad centered.
-    """
-    if ratio_pad is None:
-        gain = min(from_hw[0] / to_hw[0], from_hw[1] / to_hw[1])
-        pad_x = (from_hw[1] - to_hw[1] * gain) / 2
-        pad_y = (from_hw[0] - to_hw[0] * gain) / 2
-    else:
-        gain, (pad_x, pad_y) = ratio_pad
-    boxes = boxes - jnp.asarray([pad_x, pad_y, pad_x, pad_y], dtype=boxes.dtype)
-    boxes = boxes / gain
-    return clip_boxes(boxes, to_hw)
-
-
-def scale_coords(coords, from_hw, to_hw, ratio_pad=None):
-    """Undo letterboxing for (..., 2) xy points (contours, keypoints)."""
-    if ratio_pad is None:
-        gain = min(from_hw[0] / to_hw[0], from_hw[1] / to_hw[1])
-        pad_x = (from_hw[1] - to_hw[1] * gain) / 2
-        pad_y = (from_hw[0] - to_hw[0] * gain) / 2
-    else:
-        gain, (pad_x, pad_y) = ratio_pad
-    coords = coords - jnp.asarray([pad_x, pad_y], dtype=coords.dtype)
-    coords = coords / gain
-    return clip_coords(coords, to_hw)
+def letterbox_ratio_pad(from_hw, to_hw) -> jnp.ndarray:
+    """(gain, pad_x, pad_y) of a centered letterbox from native ``to_hw``
+    into model-input ``from_hw`` (reference ops.py:872 gain/pad recovery)."""
+    gain = min(from_hw[0] / to_hw[0], from_hw[1] / to_hw[1])
+    pad_x = (from_hw[1] - to_hw[1] * gain) / 2
+    pad_y = (from_hw[0] - to_hw[0] * gain) / 2
+    return jnp.asarray([gain, pad_x, pad_y], jnp.float32)
 
 
 def dist2bbox(distance, anchor_points, xywh=True, axis=-1):

@@ -43,6 +43,29 @@ def collapse_invalid_vertices(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.nd
     return jnp.take_along_axis(points, src[..., None], axis=-2)
 
 
+def _fill_rows(pts: jnp.ndarray, py: jnp.ndarray, width: int):
+    """Even-odd fill of one polygon (collapsed vertices, (V,2)) sampled at
+    scan rows ``py`` ((R,1) float) x columns 0..width-1. Returns (R, width)."""
+    x0, y0 = pts[:, 0], pts[:, 1]
+    x1, y1 = jnp.roll(x0, -1), jnp.roll(y0, -1)
+    px = jnp.arange(width, dtype=pts.dtype)[None, :]  # (1, W)
+
+    # Edge crossing test per scan row: does edge (p0, p1) cross horizontal line
+    # y = py, and at what x?
+    def edge_contrib(carry, e):
+        ex0, ey0, ex1, ey1 = e
+        cond = (ey0 > py) != (ey1 > py)  # (R, 1)
+        t = (py - ey0) / jnp.where(ey1 == ey0, 1.0, ey1 - ey0)
+        xi = ex0 + t * (ex1 - ex0)  # (R, 1)
+        cross = cond & (px < xi)  # (R, W)
+        return carry ^ cross, None
+
+    inside, _ = jax.lax.scan(
+        edge_contrib, jnp.zeros((py.shape[0], width), bool), (x0, y0, x1, y1)
+    )
+    return inside
+
+
 def fill_polygon(points: jnp.ndarray, valid: jnp.ndarray, height: int, width: int):
     """Rasterize one polygon to a (height, width) bool mask via even-odd rule.
 
@@ -51,27 +74,57 @@ def fill_polygon(points: jnp.ndarray, valid: jnp.ndarray, height: int, width: in
     match cv2.fillPoly's inclusive behavior closely enough for mask IoU.
     """
     pts = collapse_invalid_vertices(points, valid)
-    any_valid = valid.any()
-    x0, y0 = pts[:, 0], pts[:, 1]
-    x1, y1 = jnp.roll(x0, -1), jnp.roll(y0, -1)
-
     py = jnp.arange(height, dtype=points.dtype)[:, None]  # (H, 1)
-    px = jnp.arange(width, dtype=points.dtype)[None, :]  # (1, W)
+    return _fill_rows(pts, py, width) & valid.any()
 
-    # Edge crossing test per scan row: does edge (p0, p1) cross horizontal line
-    # y = py, and at what x?
-    def edge_contrib(carry, e):
-        ex0, ey0, ex1, ey1 = e
-        cond = (ey0 > py) != (ey1 > py)  # (H, 1)
-        t = (py - ey0) / jnp.where(ey1 == ey0, 1.0, ey1 - ey0)
-        xi = ex0 + t * (ex1 - ex0)  # (H, 1)
-        cross = cond & (px < xi)  # (H, W)
-        return carry ^ cross, None
 
-    inside, _ = jax.lax.scan(
-        edge_contrib, jnp.zeros((height, width), bool), (x0, y0, x1, y1)
-    )
-    return inside & any_valid
+@partial(jax.jit, static_argnames=("height", "width", "block"))
+def polygon_mask_iou(
+    pts_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    pts_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    height: int,
+    width: int,
+    block: int = 32,
+    eps: float = 1e-7,
+):
+    """Pairwise mask IoU between polygon sets A (N,Va,2)/(N,Va) and
+    B (M,Vb,2)/(M,Vb) on a (height,width) raster grid WITHOUT materializing
+    (N+M, H, W) masks: rasterize row blocks and accumulate intersection and
+    areas with ``lax.scan``. Peak memory is O((N+M)·block·width), so the grid
+    can be full resolution. Returns (N, M) float32 IoU.
+
+    This is the device op behind COCO-protocol mask mAP: the reference
+    matches masks via ``mask_iou`` on materialized bitmaps
+    (utils/metrics.py:133, models/yolo/segment/val.py:226); here the
+    rasterize+IoU is one fused streaming program.
+    """
+    f = jnp.float32
+    pa = collapse_invalid_vertices(pts_a, valid_a)
+    pb = collapse_invalid_vertices(pts_b, valid_b)
+    ok_a = valid_a.any(-1)  # (N,)
+    ok_b = valid_b.any(-1)  # (M,)
+    block = min(block, height)
+    n_blocks = (height + block - 1) // block
+    raster_a = jax.vmap(lambda p, py: _fill_rows(p, py, width), in_axes=(0, None))
+    raster_b = jax.vmap(lambda p, py: _fill_rows(p, py, width), in_axes=(0, None))
+
+    def body(carry, bi):
+        inter, aa, ab = carry
+        py = (bi * block + jnp.arange(block)).astype(pts_a.dtype)[:, None]
+        row_ok = py < height  # rows past the grid (last partial block)
+        ma = (raster_a(pa, py) & row_ok & ok_a[:, None, None]).astype(f)
+        mb = (raster_b(pb, py) & row_ok & ok_b[:, None, None]).astype(f)
+        inter = inter + jnp.einsum("nrw,mrw->nm", ma, mb)
+        aa = aa + ma.sum((1, 2))
+        ab = ab + mb.sum((1, 2))
+        return (inter, aa, ab), None
+
+    N, M = pts_a.shape[0], pts_b.shape[0]
+    init = (jnp.zeros((N, M), f), jnp.zeros((N,), f), jnp.zeros((M,), f))
+    (inter, aa, ab), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    return inter / (aa[:, None] + ab[None, :] - inter + eps)
 
 
 @partial(jax.jit, static_argnames=("height", "width"))

@@ -20,16 +20,16 @@ def get_default_callbacks() -> Dict[str, List[Callable]]:
 def add_integration_callbacks(instance):
     """Attach available integrations to a trainer-like object with a
     ``callbacks`` dict (reference callbacks/base.py:191)."""
-    from . import tensorboard
+    from . import mlflow, tensorboard, wb
 
-    for module in (tensorboard,):
+    for module in (tensorboard, wb, mlflow):
         cbs = module.callbacks(instance)
         if not cbs:
             continue
         for event, fn in cbs.items():
             if fn not in instance.callbacks.get(event, []):
                 instance.callbacks.setdefault(event, []).append(fn)
-    for name in ("wandb", "comet_ml", "clearml", "mlflow", "neptune", "dvclive"):
+    for name in ("comet_ml", "clearml", "neptune", "dvclive"):
         try:
             __import__(name)
             LOGGER.info(f"callback integration available but not wired: {name}")

@@ -11,6 +11,7 @@ TP matching itself runs on device in the validator.
 """
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -91,6 +92,8 @@ def ap_per_class(
     ap = np.zeros((nc, T))
     p = np.zeros(nc)
     r = np.zeros(nc)
+    rx = np.linspace(0, 1, 101)
+    p_curve = np.zeros((nc, 101))  # precision@IoU0.5 over recall grid (PR plot)
     for ci, c in enumerate(unique_classes):
         sel = pred_cls == c
         n_l = nt[ci]
@@ -102,7 +105,9 @@ def ap_per_class(
         recall = tpc / (n_l + eps)
         precision = tpc / (tpc + fpc)
         for ti in range(T):
-            ap[ci, ti] = compute_ap(recall[:, ti], precision[:, ti])[0]
+            ap[ci, ti], mpre, mrec = compute_ap(recall[:, ti], precision[:, ti])
+            if ti == 0:
+                p_curve[ci] = np.interp(rx, mrec, mpre)
         # P/R at max-F1 confidence of the 0.5-threshold curve
         f1 = 2 * precision[:, 0] * recall[:, 0] / (precision[:, 0] + recall[:, 0] + eps)
         i = int(f1.argmax())
@@ -118,6 +123,7 @@ def ap_per_class(
         "map": float(ap.mean()) if nc else 0.0,
         "mp": float(p.mean()) if nc else 0.0,
         "mr": float(r.mean()) if nc else 0.0,
+        "pr_curve": (rx, p_curve),  # for plot_pr_curve
     }
 
 
@@ -161,6 +167,15 @@ class ConfusionMatrix:
         for p in range(pred_boxes.shape[0]):
             if p not in matched_p:
                 self.matrix[pred_cls[p], self.nc] += 1
+
+    def plot(self, save_dir, names=None, normalize: bool = True):
+        """Save a confusion-matrix heatmap (reference metrics.py:336)."""
+        from .plotting import plot_confusion_matrix
+
+        fname = "confusion_matrix_normalized.png" if normalize else "confusion_matrix.png"
+        plot_confusion_matrix(
+            self.matrix, names or {}, Path(save_dir) / fname, normalize=normalize
+        )
 
 
 class Metric:

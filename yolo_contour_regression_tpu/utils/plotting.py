@@ -169,6 +169,73 @@ def plot_results(csv_file: str = "results.csv", save_path: Optional[str] = None)
     return out
 
 
+def plot_pr_curve(rx: np.ndarray, p_curve: np.ndarray, ap50: np.ndarray,
+                  save_path, names=None, classes=None):
+    """Per-class + mean PR curves at IoU 0.5 (reference plotting of
+    ap_per_class, metrics.py:336 plot_pr_curve)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 5))
+    names = names or {}
+    for ci in range(p_curve.shape[0]):
+        c = int(classes[ci]) if classes is not None else ci
+        label = f"{names.get(c, c)} {ap50[ci]:.3f}" if p_curve.shape[0] <= 20 else None
+        ax.plot(rx, p_curve[ci], lw=1, alpha=0.6, label=label)
+    ax.plot(rx, p_curve.mean(0), lw=2.5, color="blue",
+            label=f"all classes {ap50.mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1.02)
+    ax.legend(fontsize=7, loc="lower left")
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(save_path)
+
+
+def plot_confusion_matrix(matrix: np.ndarray, names, save_path, normalize: bool = True):
+    """Confusion-matrix heatmap (reference metrics.py:336 ConfusionMatrix.plot)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    m = matrix.astype(np.float64)
+    if normalize:
+        m = m / (m.sum(0, keepdims=True) + 1e-9)
+    nc1 = m.shape[0]
+    labels = [str(names.get(i, i)) for i in range(nc1 - 1)] + ["background"]
+    fig, ax = plt.subplots(figsize=(max(6, nc1 * 0.5), max(5, nc1 * 0.45)))
+    im = ax.imshow(m, cmap="Blues", vmin=0.0)
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    ax.set_xticks(range(nc1))
+    ax.set_yticks(range(nc1))
+    ax.set_xticklabels(labels, rotation=90, fontsize=7)
+    ax.set_yticklabels(labels, fontsize=7)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    if nc1 <= 30:  # annotate cells when readable
+        for i in range(nc1):
+            for j in range(nc1):
+                v = m[i, j]
+                if v > 0:
+                    ax.text(j, i, f"{v:.2f}" if normalize else f"{int(v)}",
+                            ha="center", va="center", fontsize=6,
+                            color="white" if v > m.max() * 0.6 else "black")
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(save_path)
+
+
 def plot_labels(cls: np.ndarray, bboxes_xywh: np.ndarray, names=None, save_dir: Path = Path(".")):
     """Label distribution plots (reference plotting.py:266)."""
     try:
