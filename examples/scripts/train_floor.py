@@ -22,7 +22,7 @@ from tests.helpers import make_shape_dataset  # noqa: E402
 from yolo_contour_regression_tpu.engine.model import YOLO  # noqa: E402
 
 
-def main(epochs=80, imgsz=96, n_train=64, n_val=16, out=None):
+def main(epochs=150, imgsz=96, n_train=64, n_val=16, out=None):
     out = Path(out or ROOT / "runs" / "floor")
     ds_root = out / "dataset"
     yaml_path = make_shape_dataset(
@@ -34,8 +34,10 @@ def main(epochs=80, imgsz=96, n_train=64, n_val=16, out=None):
         epochs=epochs,
         imgsz=imgsz,
         batch=16,
+        nbs=16,  # no accumulation: keep 4 optimizer steps/epoch on 64 imgs
         workers=2,
         cache="ram",
+        mixup=0.0,  # tiny dataset: mixup suppresses the tiny signal
         project=str(out),
         name="train",
         exist_ok=True,

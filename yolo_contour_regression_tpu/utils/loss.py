@@ -141,8 +141,13 @@ def detection_loss(
     nc: int,
     hyp,
     reg_max: int = 16,
+    return_assign: bool = False,
 ) -> LossOut:
-    """Stock detect loss (reference oriv8DetectionLoss, loss.py:414)."""
+    """Stock detect loss (reference oriv8DetectionLoss, loss.py:414).
+
+    ``return_assign=True`` additionally returns the TAL assignment so
+    pose/proto-mask losses reuse it instead of re-running the most expensive
+    train-step op (the reference shares it the same way inside one class)."""
     B = feats[0].shape[0]
     dt = jnp.float32
     x = flatten_levels(feats).astype(dt)
@@ -193,7 +198,7 @@ def detection_loss(
     total = (
         loss_iou * hyp.box + loss_cls * hyp.cls + loss_dfl * hyp.dfl
     ) * B
-    return LossOut(
+    out = LossOut(
         total,
         {
             "box_loss": loss_iou * hyp.box,
@@ -201,6 +206,9 @@ def detection_loss(
             "dfl_loss": loss_dfl * hyp.dfl,
         },
     )
+    if return_assign:
+        return out, assign
+    return out
 
 
 # OKS sigmas for 17 COCO keypoints (reference v8PoseLoss loss.py:1034)
@@ -222,7 +230,11 @@ def pose_loss(
     keypoint location loss + visibility BCE on assigned anchors."""
     nk = kpt_shape[0] * kpt_shape[1]
     det_feats = [f[..., :-nk] for f in feats]
-    det = detection_loss(det_feats, batch, strides, nc, hyp, reg_max)
+    # one shared TAL assignment for detect + keypoint targets (the reference's
+    # v8PoseLoss computes it once, loss.py:1050)
+    det, assign = detection_loss(
+        det_feats, batch, strides, nc, hyp, reg_max, return_assign=True
+    )
 
     dt = jnp.float32
     kpt_raw = flatten_levels([f[..., -nk:] for f in feats]).astype(dt)  # (B,A,nk)
@@ -230,28 +242,7 @@ def pose_loss(
     anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=dt)
     img_h = feat_hw[0][0] * strides[0]
     img_w = feat_hw[0][1] * strides[0]
-
-    # redo assignment (shared with detect internally; acceptable cost, keeps fn pure)
-    x = flatten_levels(det_feats).astype(dt)
-    pred_dist, pred_scores = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
-    b, a, _ = pred_dist.shape
-    probs = jax.nn.softmax(pred_dist.reshape(b, a, 4, reg_max), axis=-1)
-    ltrb = jnp.einsum("bakr,r->bak", probs, jnp.arange(reg_max, dtype=dt))
-    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)
-    scale4 = jnp.asarray([img_w, img_h, img_w, img_h], dt)
-    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dt) * scale4)
-    assign = task_aligned_assign(
-        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
-        jax.lax.stop_gradient(pred_bboxes * stride_t[None]),
-        anchor_points * stride_t,
-        batch["cls"].astype(jnp.int32),
-        gt_bboxes,
-        batch["mask_gt"].astype(bool),
-        alpha=0.5,
-        beta=6.0,
-        topk=10,
-    )
-    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+    b, a = kpt_raw.shape[0], kpt_raw.shape[1]
 
     # decoded keypoints in px (reference kpts_decode loss.py:1098)
     k = kpt_raw.reshape(b, a, kpt_shape[0], kpt_shape[1])
@@ -314,32 +305,16 @@ def segmentation_ori_loss(
     B = levels[0].shape[0]
     dt = jnp.float32
     det_feats = [o[..., : o.shape[-1] - nm] for o in levels]
-    det = detection_loss(det_feats, batch, strides, nc, hyp, reg_max)
+    # one shared TAL assignment for detect + mask targets (the reference's
+    # oriv8SegmentationLoss computes it once, loss.py:930)
+    det, assign = detection_loss(
+        det_feats, batch, strides, nc, hyp, reg_max, return_assign=True
+    )
 
-    x = flatten_levels(det_feats).astype(dt)
-    pred_dist, pred_scores = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
     mc = flatten_levels([o[..., -nm:] for o in levels]).astype(dt)  # (B, A, nm)
     feat_hw = [(f.shape[1], f.shape[2]) for f in det_feats]
-    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=dt)
     img_h = feat_hw[0][0] * strides[0]
     img_w = feat_hw[0][1] * strides[0]
-
-    b, a, _ = pred_dist.shape
-    probs = jax.nn.softmax(pred_dist.reshape(b, a, 4, reg_max), axis=-1)
-    ltrb = jnp.einsum("bakr,r->bak", probs, jnp.arange(reg_max, dtype=dt))
-    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)
-    scale4 = jnp.asarray([img_w, img_h, img_w, img_h], dt)
-    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dt) * scale4)
-    assign = task_aligned_assign(
-        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
-        jax.lax.stop_gradient(pred_bboxes * stride_t[None]),
-        anchor_points * stride_t,
-        batch["cls"].astype(jnp.int32),
-        gt_bboxes,
-        batch["mask_gt"].astype(bool),
-        alpha=0.5, beta=6.0, topk=10,
-    )
-    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
 
     hp, wp = proto.shape[1], proto.shape[2]
     # GT masks at proto resolution from the 360-pt contours
