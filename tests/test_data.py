@@ -148,3 +148,22 @@ def test_pose_keypoint_labels(tmp_path):
     )
     inst.fliplr(64)
     np.testing.assert_allclose(inst.keypoints[0, 0], [44, 20, 2])
+
+
+def test_image_cache_ram_and_disk(tmp_path):
+    """cache=ram/disk return identical samples to the uncached path."""
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.data.dataset import YOLODataset
+
+    make_shape_dataset(tmp_path, n_train=3, n_val=1, imgsz=32)
+    root = str(tmp_path / "images" / "train")
+    base = YOLODataset(root, imgsz=32, augment=False)
+    ram = YOLODataset(root, imgsz=32, augment=False, cache_images="ram")
+    disk = YOLODataset(root, imgsz=32, augment=False, cache_images="disk")
+    for i in range(3):
+        want = base[i]["img"]
+        np.testing.assert_array_equal(ram[i]["img"], want)
+        np.testing.assert_array_equal(ram[i]["img"], want)  # cache hit
+        np.testing.assert_array_equal(disk[i]["img"], want)
+        np.testing.assert_array_equal(disk[i]["img"], want)  # mmap hit
+    assert any((tmp_path / "images" / "train" / ".img_cache").iterdir())

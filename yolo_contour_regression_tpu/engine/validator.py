@@ -95,6 +95,32 @@ def _write_coco_json(jdict, project=None, name: str = "predictions.json"):
     return out
 
 
+def eval_coco_json(pred_json, anno_json, task: str = "segment"):
+    """Official pycocotools evaluation of a predictions.json against a COCO
+    annotation file (reference eval_json, models/yolo/segment/val.py:313).
+    Gated on pycocotools (absent in this image); returns
+    {mAP50-95(B), mAP50(B)[, mAP50-95(M), mAP50(M)]} or None if unavailable."""
+    try:
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+    except ImportError:
+        LOGGER.warning("pycocotools not installed: skipping official COCO eval")
+        return None
+    anno = COCO(str(anno_json))
+    pred = anno.loadRes(str(pred_json))
+    out = {}
+    ious = ["bbox", "segm"] if task in ("segment", "segment_ori") else ["bbox"]
+    for iou_type in ious:
+        ev = COCOeval(anno, pred, iou_type)
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+        tag = "B" if iou_type == "bbox" else "M"
+        out[f"metrics/mAP50-95({tag})"] = float(ev.stats[0])
+        out[f"metrics/mAP50({tag})"] = float(ev.stats[1])
+    return out
+
+
 class BaseValidator:
     task = "detect"
 
@@ -245,7 +271,12 @@ class SegmentationValidator(BaseValidator):
         dt = time.time() - t0
         res = metrics.results_dict
         if args.save_json and jdict:
-            _write_coco_json(jdict, getattr(args, "project", None))
+            pred_path = _write_coco_json(jdict, getattr(args, "project", None))
+            anno = data.get("anno_json") if isinstance(data, dict) else None
+            if anno:
+                official = eval_coco_json(pred_path, anno, task=self.task)
+                if official:
+                    res.update(official)
         if getattr(args, "plots", False):
             from ..utils.plotting import plot_pr_curve
 
