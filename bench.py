@@ -11,17 +11,19 @@ iterated IN-GRAPH with a lax.fori_loop whose carry creates a true data
 dependency between iterations, and per-iteration time is the difference
 between a long and a short loop (RTT and dispatch cancel out).
 
+Batch strategy: batch 32 measures ~4.3x baseline but its jit graph has
+occasionally stalled the remote-compile tunnel, so main() tries it in a
+TIMEOUT-GUARDED SUBPROCESS first and falls back to the reliable batch 16
+in-process. Set BENCH_BATCH to pin a batch and skip the fallback ladder.
+
 Baseline anchor (BASELINE.md): the reference's A100-TensorRT yolov8n-seg
 pipeline is ~826 img/s. North star: >= 2x that per chip.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-
-Default batch 16 measures ~3.7x baseline; BENCH_BATCH=32 reaches ~4.3x but
-its larger jit graph occasionally stalls the remote-compile tunnel, so the
-reliable setting stays the default.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -30,9 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_IMGS_PER_SEC = 826.0  # A100 TensorRT yolov8n-seg (README.md:140,148)
+PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16 (public spec)
 
 
-def main():
+def measure(batch: int) -> dict:
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -41,7 +44,6 @@ def main():
     from yolo_contour_regression_tpu.ops.nms import non_max_suppression
 
     imgsz = 640
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
     dtype = jnp.bfloat16
 
     model = build_model(
@@ -59,18 +61,21 @@ def main():
 
     variables, model = fuse_variables(model, variables)
 
+    def one_iter(variables, raw_u8, acc):
+        x = raw_u8.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
+        pred = model.predict(variables, x)
+        out = non_max_suppression(
+            pred.astype(jnp.float32), nc=model.nc, conf_thres=0.25,
+            iou_thres=0.7, pre_nms=1024, max_det=300,
+        )
+        return out["scores"].sum()
+
     @partial(jax.jit, static_argnames=("n",))
     def pipeline_loop(variables, raw_u8, n):
         def body(i, acc):
             # acc feeds back into the input: a real data dependency, so the
             # n iterations cannot overlap or be elided
-            x = raw_u8.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
-            pred = model.predict(variables, x)
-            out = non_max_suppression(
-                pred.astype(jnp.float32), nc=model.nc, conf_thres=0.25,
-                iou_thres=0.7, pre_nms=1024, max_det=300,
-            )
-            return out["scores"].sum()
+            return one_iter(variables, raw_u8, acc)
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
@@ -94,16 +99,59 @@ def main():
     per_iter = (t_long - t_short) / (n_long - n_short)
     imgs_per_sec = batch / per_iter
 
-    print(
-        json.dumps(
-            {
-                "metric": "yolov8n-seg_e2e_throughput_640px",
-                "value": round(imgs_per_sec, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-            }
+    # MFU from XLA's optimized-HLO flop count of one pipeline iteration
+    mfu = flops_per_img = None
+    try:
+        lowered = jax.jit(one_iter).lower(
+            variables, raw, jnp.zeros((), jnp.float32)
         )
-    )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            flops_per_img = flops / batch
+            mfu = imgs_per_sec * flops_per_img / PEAK_BF16_FLOPS
+    except Exception:
+        pass
+
+    out = {
+        "metric": "yolov8n-seg_e2e_throughput_640px",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        "batch": batch,
+    }
+    if mfu is not None:
+        out["flops_per_img"] = round(flops_per_img / 1e9, 2)  # GFLOPs
+        out["mfu"] = round(mfu, 4)
+    return out
+
+
+def main():
+    pinned = os.environ.get("BENCH_BATCH")
+    if pinned:
+        print(json.dumps(measure(int(pinned))))
+        return
+
+    # try the faster batch in a timeout-guarded subprocess (a remote-compile
+    # stall there must not take the whole benchmark down), fall back to the
+    # reliable batch 16 in-process
+    for batch, budget in ((32, 900),):
+        try:
+            env = dict(os.environ, BENCH_BATCH=str(batch))
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=budget,
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            rec = json.loads(line)
+            if r.returncode == 0 and rec.get("value", 0) > 0:
+                print(json.dumps(rec))
+                return
+        except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
+            pass
+    print(json.dumps(measure(16)))
 
 
 if __name__ == "__main__":

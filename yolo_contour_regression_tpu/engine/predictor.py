@@ -48,6 +48,24 @@ def iter_source(source) -> Iterator:
                 yield from iter_source(s)
         return
     p = str(source)
+    if p.startswith("screen"):
+        # screenshot stream (reference data/loaders.py:119 LoadScreenshots):
+        # "screen" or "screen<N>" grabs monitor N continuously; gated on mss
+        try:
+            import mss
+        except ImportError as e:
+            raise ImportError(
+                "screenshot source needs the 'mss' package (not in this image)"
+            ) from e
+        mon_idx = int(p[6:]) if p[6:].isdigit() else 1
+        with mss.mss() as sct:
+            mon = sct.monitors[mon_idx]
+            i = 0
+            while True:
+                frame = np.asarray(sct.grab(mon))[:, :, :3]  # BGRA -> BGR
+                yield f"screen{mon_idx}#frame{i}", np.ascontiguousarray(frame)
+                i += 1
+        return
     if os.path.isdir(p):
         files = sorted(
             f for f in glob.glob(os.path.join(p, "**", "*"), recursive=True)

@@ -63,13 +63,23 @@ def load_checkpoint(path) -> Dict[str, Any]:
         return pickle.load(fh)
 
 
-def strip_optimizer(path, out_path: Optional[str] = None):
-    """EMA -> params, drop optimizer state (reference torch_utils.py:379)."""
+def strip_optimizer(path, out_path: Optional[str] = None, half: bool = False):
+    """EMA -> params, drop optimizer state (reference torch_utils.py:379);
+    ``half=True`` additionally stores float params as fp16 (the reference's
+    .half() deploy checkpoints) — loaders upcast to fp32."""
     ckpt = load_checkpoint(path)
     if ckpt.get("ema_params") is not None:
         ckpt["params"] = ckpt["ema_params"]
     ckpt["ema_params"] = None
     ckpt["opt_state"] = None
+    if half:
+        cast = lambda x: (
+            x.astype(np.float16)
+            if isinstance(x, np.ndarray) and x.dtype == np.float32
+            else x
+        )
+        ckpt["params"] = jax.tree_util.tree_map(cast, ckpt["params"])
+        ckpt["batch_stats"] = jax.tree_util.tree_map(cast, ckpt["batch_stats"])
     with open(out_path or path, "wb") as fh:
         pickle.dump(ckpt, fh, protocol=pickle.HIGHEST_PROTOCOL)
     return out_path or path
