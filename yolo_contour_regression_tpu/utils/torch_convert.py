@@ -1,0 +1,306 @@
+"""Torch checkpoint migration: reference ``.pt`` weights -> this framework.
+
+Users of the reference (ai4in/YOLO-Contour-Regression, an Ultralytics 8.0.149
+fork) hold trained ``.pt`` checkpoints — pickled torch ``DetectionModel``
+objects (reference nn/tasks.py:553 torch_safe_load). This module loads them
+WITHOUT the ultralytics package (a tolerant unpickler stubs the missing
+classes; tensors still deserialize through torch's own machinery), maps the
+torch parameter names onto this framework's flax param tree, and writes a
+native ``.ckpt``:
+
+  torch layout                          this framework
+  ------------------------------------  --------------------------------
+  model.{i}.conv.weight (OIHW)          params.layer{i}.conv.kernel (HWIO)
+  model.{i}.bn.{weight,bias}            params.layer{i}.bn.{scale,bias}
+  model.{i}.bn.running_{mean,var}       batch_stats.layer{i}.bn.{mean,var}
+  model.{i}.m.{j}.cv1...                layer{i}.m{j}.cv1...
+  model.{i}.cv2.{a}.{b}...   (heads)    layer{i}[.detect].cv2_{a}_{b}...
+  RepConv conv1.conv/conv1.bn/...,bn    conv1/bn1, conv2/bn2, bn_id
+  Linear weight (O,I)                   kernel (I,O)
+  model.{i}.dfl.conv.weight             (none: DFL projection is arithmetic)
+
+Requires the ``torch`` package only to READ the file (CPU); conversion and
+the resulting checkpoint are torch-free.
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from . import LOGGER
+
+
+# ---------------------------------------------------------------------------
+# tolerant .pt loading
+# ---------------------------------------------------------------------------
+
+def _make_stub(module: str, name: str):
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+    return type(name, (), {"__setstate__": __setstate__, "_stub_origin": f"{module}.{name}"})
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    """Resolves importable classes normally; unknown ones become stubs that
+    just capture their pickled __dict__ (enough to walk _modules/_parameters)."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return _make_stub(module, name)
+
+
+class _PickleShim:
+    Unpickler = _TolerantUnpickler
+    load = staticmethod(pickle.load)
+    loads = staticmethod(pickle.loads)
+
+
+def load_torch_checkpoint(path) -> Dict[str, Any]:
+    """torch.load a reference .pt without ultralytics installed. Returns the
+    raw checkpoint dict (keys like 'model', 'ema', 'train_args', ...)."""
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", pickle_module=_PickleShim,
+                     weights_only=False)
+    return obj if isinstance(obj, dict) else {"model": obj}
+
+
+def _walk_module(obj, prefix: str, out: Dict[str, np.ndarray]):
+    d = getattr(obj, "__dict__", None)
+    if not isinstance(d, dict):
+        return
+    for coll in ("_parameters", "_buffers"):
+        for k, v in (d.get(coll) or {}).items():
+            if v is None:
+                continue
+            arr = v.detach().cpu().float().numpy() if hasattr(v, "detach") else np.asarray(v)
+            out[f"{prefix}{k}"] = arr
+    for k, child in (d.get("_modules") or {}).items():
+        _walk_module(child, f"{prefix}{k}.", out)
+
+
+def extract_state_dict(ckpt: Dict[str, Any], prefer_ema: bool = True) -> Dict[str, np.ndarray]:
+    """Flat name->float32 numpy state dict from a stub-loaded checkpoint
+    (EMA weights preferred, like reference attempt_load_one_weight)."""
+    model = None
+    if prefer_ema and ckpt.get("ema") is not None:
+        model = ckpt["ema"]
+    if model is None:
+        model = ckpt.get("model", ckpt)
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(model, dict):  # plain state_dict
+        for k, v in model.items():
+            out[k] = v.detach().cpu().float().numpy() if hasattr(v, "detach") else np.asarray(v)
+        return out
+    _walk_module(model, "", out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# name mapping
+# ---------------------------------------------------------------------------
+
+# list-attribute names whose numeric index concatenates WITHOUT an underscore
+# (Bottleneck/RepBlock chains: our modules name them m0, m1, ...)
+_CONCAT_LISTS = {"m"}
+# RepConv submodule renames (torch Conv-in-RepConv -> our flat names)
+_REPCONV_MAP = {
+    ("conv1", "conv"): ("conv1",),
+    ("conv1", "bn"): ("bn1",),
+    ("conv2", "conv"): ("conv2",),
+    ("conv2", "bn"): ("bn2",),
+    ("bn",): ("bn_id",),
+}
+
+
+def _translate_tokens(tokens):
+    """torch dotted sub-path -> candidate flax module paths (most-direct
+    first; RepConv renames as alternatives probed against the target tree,
+    since e.g. a bare 'bn' is an ordinary Conv BN in one layer and RepConv's
+    identity BN in another)."""
+    outp = []
+    for t in tokens:
+        if t.isdigit() and outp:
+            prev = outp[-1]
+            outp[-1] = f"{prev}{t}" if prev in _CONCAT_LISTS else f"{prev}_{t}"
+        else:
+            outp.append(t)
+    cands = [tuple(outp)]
+    for pat, rep in _REPCONV_MAP.items():
+        L = len(pat)
+        if len(outp) >= L and tuple(outp[-L:]) == pat:
+            cands.append(tuple(outp[:-L]) + rep)
+    return cands
+
+
+def _leaf_map(leaf: str, arr: np.ndarray, in_bn: bool):
+    """torch tensor name -> (our leaf name, collection, transformed array)."""
+    if leaf == "num_batches_tracked":
+        return None
+    if in_bn:
+        return {
+            "weight": ("scale", "params", arr),
+            "bias": ("bias", "params", arr),
+            "running_mean": ("mean", "batch_stats", arr),
+            "running_var": ("var", "batch_stats", arr),
+        }.get(leaf)
+    if leaf == "weight":
+        if arr.ndim == 4:  # conv OIHW -> HWIO
+            return ("kernel", "params", np.transpose(arr, (2, 3, 1, 0)))
+        if arr.ndim == 2:  # linear (O,I) -> (I,O)
+            return ("kernel", "params", arr.T)
+        return ("scale", "params", arr)  # LayerNorm etc.
+    if leaf == "bias":
+        return ("bias", "params", arr)
+    return (leaf, "params", arr)
+
+
+def _get(tree, path):
+    cur = tree
+    for p in path:
+        if not isinstance(cur, dict) or p not in cur:
+            return None
+        cur = cur[p]
+    return cur
+
+
+def _set(tree, path, value):
+    cur = tree
+    for p in path[:-1]:
+        cur = cur.setdefault(p, {})
+    cur[path[-1]] = value
+
+
+def convert_state_dict(
+    state: Dict[str, np.ndarray],
+    variables: Dict[str, Any],
+    strict: bool = False,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map a torch state dict onto a freshly-initialized param tree.
+
+    Returns (new_variables, report). report = {converted, skipped, missed,
+    unmatched_target}; strict=True raises when any source tensor with a
+    learnable mapping finds no home."""
+    import copy
+
+    new_vars = {
+        "params": copy.deepcopy(dict(variables["params"])),
+        "batch_stats": copy.deepcopy(dict(variables.get("batch_stats", {}))),
+    }
+    converted, skipped, missed = [], [], []
+    touched = set()
+
+    for key, arr in state.items():
+        tokens = key.split(".")
+        if tokens and tokens[0] == "model":
+            tokens = tokens[1:]
+        if not tokens or not tokens[0].isdigit():
+            skipped.append(key)
+            continue
+        layer = f"layer{tokens[0]}"
+        sub, leaf = tokens[1:-1], tokens[-1]
+        if sub and sub[-1] == "dfl" or (len(sub) >= 2 and sub[-2] == "dfl"):
+            skipped.append(key)  # DFL projection is arithmetic here
+            continue
+        in_bn = bool(sub) and sub[-1].startswith("bn")
+        mapped = _leaf_map(leaf, arr, in_bn)
+        if mapped is None:
+            skipped.append(key)
+            continue
+        leaf_name, coll, new_arr = mapped
+        candidates = []
+        for path_mid in _translate_tokens(sub):
+            candidates.append((layer,) + path_mid + (leaf_name,))
+            # heads that nest the shared Detect branches (Pose/SegmentProto)
+            candidates.append((layer, "detect") + path_mid + (leaf_name,))
+        placed = False
+        for cand in candidates:
+            tgt = _get(new_vars[coll], cand)
+            if tgt is not None and tuple(tgt.shape) == tuple(new_arr.shape):
+                _set(new_vars[coll], cand, new_arr.astype(np.asarray(tgt).dtype))
+                touched.add((coll,) + cand)
+                converted.append(key)
+                placed = True
+                break
+        if not placed:
+            missed.append(key)
+
+    # target leaves never written (random init kept)
+    unmatched = []
+
+    def scan(tree, coll, path=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                scan(v, coll, path + (k,))
+            elif (coll,) + path + (k,) not in touched:
+                unmatched.append("/".join((coll,) + path + (k,)))
+
+    scan(new_vars["params"], "params")
+    scan(new_vars["batch_stats"], "batch_stats")
+
+    report = {
+        "converted": len(converted),
+        "skipped": skipped,
+        "missed": missed,
+        "unmatched_target": unmatched,
+    }
+    if missed:
+        msg = f"{len(missed)} torch tensors found no home, e.g. {missed[:5]}"
+        if strict:
+            raise ValueError(msg)
+        LOGGER.warning(msg)
+    return new_vars, report
+
+
+def convert_torch_checkpoint(
+    pt_path,
+    model_yaml,
+    out_path: Optional[str] = None,
+    nc: Optional[int] = None,
+    imgsz: int = 640,
+    strict: bool = False,
+):
+    """End-to-end migration: reference .pt -> native .ckpt loadable by
+    ``YOLO(out_path)``. Builds the model from ``model_yaml`` (must match the
+    .pt architecture), initializes, overwrites with converted weights."""
+    from ..nn.tasks import build_model
+    from .checkpoint import save_checkpoint
+
+    ckpt = load_torch_checkpoint(pt_path)
+    state = extract_state_dict(ckpt)
+    tgt_nc = nc
+    model = build_model(model_yaml, nc=tgt_nc)
+    variables = model.init(imgsz=imgsz)
+    new_vars, report = convert_state_dict(state, variables, strict=strict)
+    LOGGER.info(
+        f"converted {report['converted']} tensors from {pt_path}; "
+        f"{len(report['missed'])} missed, "
+        f"{len(report['unmatched_target'])} target leaves kept random"
+    )
+    train_args = ckpt.get("train_args") or {}
+    if not isinstance(train_args, dict):
+        train_args = {}
+    out = Path(out_path or Path(pt_path).with_suffix(".ckpt"))
+    save_checkpoint(
+        out,
+        params=new_vars["params"],
+        batch_stats=new_vars["batch_stats"],
+        ema_params=None,
+        opt_state=None,
+        step=0,
+        epoch=int(ckpt.get("epoch", -1) or -1),
+        best_fitness=float(ckpt.get("best_fitness") or 0.0),
+        train_args={k: v for k, v in train_args.items() if isinstance(v, (int, float, str, bool))},
+        model_yaml=model.yaml,
+        names=getattr(model, "names", {}),
+    )
+    return str(out), report
