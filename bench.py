@@ -11,10 +11,12 @@ iterated IN-GRAPH with a lax.fori_loop whose carry creates a true data
 dependency between iterations, and per-iteration time is the difference
 between a long and a short loop (RTT and dispatch cancel out).
 
-Batch strategy: batch 32 measures ~4.3x baseline but its jit graph has
-occasionally stalled the remote-compile tunnel, so main() tries it in a
-TIMEOUT-GUARDED SUBPROCESS first and falls back to the reliable batch 16
-in-process. Set BENCH_BATCH to pin a batch and skip the fallback ladder.
+Batch strategy: throughput rises with batch (measured on one v5e:
+16->3082, 32->3650, 64->5119, 128->7310, 256->6720 img/s), but large jit
+graphs have occasionally stalled the remote-compile tunnel, so main() tries
+batches 128/64/32 in TIMEOUT-GUARDED SUBPROCESSES and falls back to the
+always-reliable batch 16 in-process. Set BENCH_BATCH to pin a batch and
+skip the ladder.
 
 Baseline anchor (BASELINE.md): the reference's A100-TensorRT yolov8n-seg
 pipeline is ~826 img/s. North star: >= 2x that per chip.
@@ -64,9 +66,13 @@ def measure(batch: int) -> dict:
     def one_iter(variables, raw_u8, acc):
         x = raw_u8.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
         pred = model.predict(variables, x)
+        # pre_nms=512 candidate pre-select: mAP-neutral even at val
+        # conf=0.001 on the trained floor model (runs/floor/floor.json
+        # pre_nms_delta: 512 == 1024 == 4096), and the (k,k) suppression
+        # matrix shrinks 4x vs k=1024 (+8% pipeline throughput)
         out = non_max_suppression(
             pred.astype(jnp.float32), nc=model.nc, conf_thres=0.25,
-            iou_thres=0.7, pre_nms=1024, max_det=300,
+            iou_thres=0.7, pre_nms=512, max_det=300,
         )
         return out["scores"].sum()
 
@@ -134,10 +140,10 @@ def main():
         print(json.dumps(measure(int(pinned))))
         return
 
-    # try the faster batch in a timeout-guarded subprocess (a remote-compile
-    # stall there must not take the whole benchmark down), fall back to the
-    # reliable batch 16 in-process
-    for batch, budget in ((32, 900),):
+    # try the faster batches in timeout-guarded subprocesses (a remote-
+    # compile stall there must not take the whole benchmark down), fall back
+    # to the reliable batch 16 in-process
+    for batch, budget in ((128, 900), (64, 600), (32, 600)):
         try:
             env = dict(os.environ, BENCH_BATCH=str(batch))
             r = subprocess.run(
