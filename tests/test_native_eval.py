@@ -131,3 +131,27 @@ def test_val_nonsquare_native_space(tmp_path):
             assert -1 <= x <= 97 and -1 <= y <= 49  # native 96x48 bounds
             if "segmentation" in r:
                 assert r["segmentation"]["size"] == [48, 96]
+
+
+@pytest.mark.slow
+def test_val_plots_and_speed(tmp_path):
+    """plots=True saves CM, PR curves and val-batch mosaics; speed dict set."""
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.data.utils import check_det_dataset
+    from yolo_contour_regression_tpu.engine.model import YOLO
+    from yolo_contour_regression_tpu.engine.validator import SegmentationValidator
+
+    yaml_path = make_shape_dataset(tmp_path / "ds", n_train=2, n_val=2, imgsz=48)
+    m = YOLO("yolov8n-seg.yaml")
+    m._ensure_variables(64)
+    v = SegmentationValidator(args=get_cfg(overrides={
+        "imgsz": 64, "batch": 2, "task": "segment", "plots": True,
+        "project": str(tmp_path / "runs"), "name": "segval",
+    }))
+    res = v(model=m.model, variables=m.variables, data=str(yaml_path))
+    assert "metrics/mAP50-95(M)" in res
+    assert v.speed["device_ms_per_img"] > 0
+    save = tmp_path / "runs" / "segval"
+    assert (save / "confusion_matrix_normalized.png").exists()
+    assert (save / "val_batch0_labels.jpg").exists()

@@ -131,3 +131,20 @@ def test_rtdetr_cdn_train_step(rtdetr):
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     dn_grads = [g for p, g in flat if any("denoising" in str(k) for k in p)]
     assert dn_grads and any(float(jnp.abs(g).sum()) > 0 for g in dn_grads)
+
+
+@pytest.mark.slow
+def test_rtdetr_val_native_space(rtdetr, tmp_path):
+    """RTDETRValidator runs the padded fixed-shape loader protocol and
+    matches in native image space."""
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.models.rtdetr.val import RTDETRValidator
+
+    m, v = rtdetr
+    yaml_path = make_shape_dataset(tmp_path, n_train=2, n_val=3, imgsz=48, img_w=96)
+    val = RTDETRValidator(args=get_cfg(overrides={
+        "imgsz": 64, "batch": 2, "task": "rtdetr", "conf": 0.3,
+    }))
+    res = val(model=m, variables=v, data=str(yaml_path))
+    assert "metrics/mAP50-95(B)" in res and np.isfinite(res["metrics/mAP50-95(B)"])

@@ -230,11 +230,14 @@ class SegmentationValidator(BaseValidator):
 
         n_img = 0
         t0 = time.time()
+        t_dev = 0.0
         jdict = []
+        first_batch = None
         for batch in loader:
             B = batch["img"].shape[0]
             nv = min(int(batch.pop("n_valid", B)), B)
             images = jnp.asarray(batch["img"])
+            td = time.perf_counter()
             out = eval_fn(
                 variables,
                 images,
@@ -244,7 +247,10 @@ class SegmentationValidator(BaseValidator):
                 jnp.asarray(batch["ori_shape"]),
                 jnp.asarray(batch["ratio_pad"]),
             )
-            out = {k: np.asarray(v) for k, v in out.items()}
+            out = {k: np.asarray(v) for k, v in out.items()}  # forces sync
+            t_dev += time.perf_counter() - td
+            if first_batch is None:
+                first_batch = ({k: v for k, v in batch.items()}, out, nv)
             for bi in range(nv):
                 keep = out["valid"][bi]
                 gt_keep = batch["mask_gt"][bi]
@@ -289,11 +295,55 @@ class SegmentationValidator(BaseValidator):
                         self.save_dir / f"PR_curve_{tag}.png",
                         names=names, classes=m.results["classes"],
                     )
+            if first_batch is not None:
+                self._plot_val_batch(first_batch, names)
+        # per-image speed, reference validator.py:183 summary line style
+        self.speed = {"device_ms_per_img": round(t_dev / max(n_img, 1) * 1e3, 2)}
         LOGGER.info(
             f"val: {n_img} imgs  box mAP50-95 {res['metrics/mAP50-95(B)']:.4f}  "
-            f"mask mAP50-95 {res['metrics/mAP50-95(M)']:.4f}  ({dt:.1f}s)"
+            f"mask mAP50-95 {res['metrics/mAP50-95(M)']:.4f}  "
+            f"({self.speed['device_ms_per_img']:.1f} ms/img device, {dt:.1f}s total)"
         )
         return res
+
+    def _plot_val_batch(self, first_batch, names):
+        """Save GT vs prediction mosaics for the first val batch (reference
+        plot_val_samples/plot_predictions, models/yolo/segment/val.py:243)."""
+        try:
+            from ..utils.plotting import plot_images
+
+            batch, out, nv = first_batch
+            plot_images(
+                batch["img"][:nv], {k: v[:nv] for k, v in batch.items() if k != "img"},
+                fname=str(self.save_dir / "val_batch0_labels.jpg"), names=names,
+            )
+            # predictions overlaid in letterbox space: rebuild normalized
+            # xywh from the native boxes via the forward letterbox transform
+            import numpy as _np
+
+            imgsz = batch["img"].shape[1]
+            n_show = min(out["boxes"].shape[1], 48)
+            pred_like = {
+                "cls": _np.zeros((nv, n_show), _np.int32),
+                "bboxes": _np.zeros((nv, n_show, 4), _np.float32),
+                "mask_gt": _np.zeros((nv, n_show), bool),
+            }
+            for bi in range(nv):
+                g, px, py = batch["ratio_pad"][bi]
+                bx = out["boxes"][bi][:n_show] * g + _np.asarray([px, py, px, py])
+                pred_like["bboxes"][bi] = _np.concatenate(
+                    [(bx[:, :2] + bx[:, 2:]) / 2, bx[:, 2:] - bx[:, :2]], -1
+                ) / imgsz
+                pred_like["mask_gt"][bi] = out["valid"][bi][:n_show]
+                pred_like["cls"][bi] = out["classes"][bi][:n_show]
+            plot_images(
+                batch["img"][:nv], pred_like,
+                fname=str(self.save_dir / "val_batch0_pred.jpg"), names=names,
+            )
+        except Exception as e:  # plotting must never fail validation
+            from ..utils import LOGGER as _L
+
+            _L.warning(f"val batch plot failed: {e}")
 
 
 class SegmentationOriValidator(BaseValidator):

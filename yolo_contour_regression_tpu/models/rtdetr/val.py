@@ -12,7 +12,7 @@ import numpy as np
 
 from ...data.utils import check_det_dataset
 from ...engine.validator import BaseValidator
-from ...ops.boxes import box_iou, xywh2xyxy
+from ...ops.boxes import box_iou, scale_boxes, xywh2xyxy
 from ...utils import LOGGER
 from ...utils.metrics import DetMetrics, match_predictions
 
@@ -30,22 +30,29 @@ class RTDETRValidator(BaseValidator):
         imgsz = args.imgsz
 
         @jax.jit
-        def eval_fn(variables, images, gt_bboxes):
+        def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
             pred = model.predict(variables, images)  # (B, nq, 4+nc) cxcywh norm
-            boxes = xywh2xyxy(pred[..., :4]) * imgsz
+            # native-space matching (reference rtdetr/val.py scales to
+            # ori_shape), via the shared inverse-letterbox op
+            boxes = scale_boxes(xywh2xyxy(pred[..., :4]) * imgsz, ratio_pad, ori_shape)
             scores = pred[..., 4:]
-            gt_xyxy = xywh2xyxy(gt_bboxes) * imgsz
+            gt_xyxy = scale_boxes(xywh2xyxy(gt_bboxes) * imgsz, ratio_pad, ori_shape)
             ious = jax.vmap(box_iou)(gt_xyxy, boxes)
             return boxes, scores, ious
 
         t0 = time.time()
         n_img = 0
         for batch in loader:
+            B = batch["img"].shape[0]
+            nv = min(int(batch.pop("n_valid", B)), B)
             images = jnp.asarray(batch["img"])
             boxes, scores, ious = (
-                np.asarray(v) for v in eval_fn(variables, images, jnp.asarray(batch["bboxes"]))
+                np.asarray(v) for v in eval_fn(
+                    variables, images, jnp.asarray(batch["bboxes"]),
+                    jnp.asarray(batch["ori_shape"]), jnp.asarray(batch["ratio_pad"]),
+                )
             )
-            for bi in range(images.shape[0]):
+            for bi in range(nv):
                 conf = scores[bi].max(-1)
                 cls = scores[bi].argmax(-1)
                 keep = conf >= args.conf
@@ -54,7 +61,7 @@ class RTDETRValidator(BaseValidator):
                     cls[keep], batch["cls"][bi][gt_keep], ious[bi][gt_keep][:, keep]
                 )
                 metrics.box.update(tp, conf[keep], cls[keep], batch["cls"][bi][gt_keep])
-            n_img += images.shape[0]
+            n_img += nv
         metrics.process()
         res = metrics.results_dict
         LOGGER.info(

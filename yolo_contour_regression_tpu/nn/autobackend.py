@@ -30,13 +30,15 @@ class AutoBackend:
         self.fmt = (
             "saved_model" if p.name.endswith("_saved_model") or (p / "saved_model.pb").exists()
             else {".ckpt": "ckpt", ".yaml": "yaml", ".yml": "yaml",
-                  ".stablehlo": "stablehlo", ".tflite": "tflite"}.get(suffix)
+                  ".stablehlo": "stablehlo", ".tflite": "tflite",
+                  ".onnx": "onnx", ".pt": "pt"}.get(suffix)
         )
         if self.fmt is None:
             raise ValueError(
                 f"unsupported artifact '{weights}' — supported: .ckpt, .yaml, "
-                ".stablehlo, _saved_model dir, .tflite (onnx/tensorrt/coreml "
-                "have no backend in this environment)"
+                ".pt (converted via utils/torch_convert), .onnx (needs "
+                "onnxruntime), .stablehlo, _saved_model dir, .tflite "
+                "(tensorrt/coreml have no backend in this environment)"
             )
         meta_path = p.with_suffix("").with_suffix("") if suffix else p
         for cand in (p.parent / f"{p.stem}.metadata.json", Path(str(p) + ".metadata.json")):
@@ -69,6 +71,35 @@ class AutoBackend:
         variables = model.init()
         self.names = model.names
         self._fn = jax.jit(lambda x: model.predict(variables, x))
+
+    def _init_onnx(self):
+        try:
+            import onnxruntime as ort
+        except ImportError as e:
+            raise ImportError(
+                "loading .onnx needs onnxruntime (not in this image); export "
+                "format='stablehlo' or 'saved_model' instead, or install "
+                "onnxruntime offline"
+            ) from e
+        sess = ort.InferenceSession(self.path, providers=["CPUExecutionProvider"])
+        inp = sess.get_inputs()[0].name
+
+        def fn(x):
+            out = sess.run(None, {inp: np.asarray(x, np.float32)})
+            return out[0] if len(out) == 1 else out
+
+        self._fn = fn
+        self.names = self.metadata.get("names", {})
+
+    def _init_pt(self):
+        """Reference torch checkpoints: converted on the fly
+        (utils/torch_convert) then run through the native fused path."""
+        from ..utils.torch_convert import convert_torch_checkpoint
+
+        yaml_guess = self.metadata.get("model_yaml") or "yolov8n-seg.yaml"
+        ckpt_path, _ = convert_torch_checkpoint(self.path, yaml_guess)
+        self.path = str(ckpt_path)
+        self._init_ckpt()
 
     def _init_stablehlo(self):
         from ..engine.exporter import load_stablehlo
