@@ -70,17 +70,15 @@ def test_saved_model_roundtrip_parity(tmp_path):
     np.testing.assert_allclose(out, want, atol=2e-3, rtol=1e-3)
 
 
-def test_onnx_export_gated_message(tmp_path):
-    """Without tf2onnx/onnx the exporter raises with the offline recipe
-    instead of NotImplementedError."""
-    from yolo_contour_regression_tpu import YOLO
+def test_onnx_unsupported_head_message(tmp_path):
+    """Heads without a native ONNX emitter (rtdetr) raise pointing at the
+    stablehlo/saved_model fallback route instead of a bare failure."""
+    from yolo_contour_regression_tpu.nn.fuse import fuse_variables
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.onnx.export import export_onnx
 
-    try:
-        import tf2onnx  # noqa: F401
-
-        pytest.skip("tf2onnx present; gating not exercised")
-    except ImportError:
-        pass
-    m = YOLO("yolov8n-seg.yaml")
-    with pytest.raises(ImportError, match="tf2onnx"):
-        m.export(format="onnx", imgsz=64, project=str(tmp_path))
+    model = build_model("rtdetr-l.yaml", task="rtdetr", nc=2)
+    variables = model.init(imgsz=64)
+    fvars, fmodel = fuse_variables(model, variables)
+    with pytest.raises(NotImplementedError, match="stablehlo|saved_model"):
+        export_onnx(fmodel, fvars, str(tmp_path / "m.onnx"), imgsz=64)

@@ -8,7 +8,9 @@ TPU-native artifact formats:
     TorchScript/engine as the native format.
   - ``saved_model`` / ``tflite``: via jax2tf + the TF toolchain (the
     reference's TF chain, exporter.py:611-787).
-  - ``onnx``: gated on the optional onnx package (absent in this image).
+  - ``onnx``: NATIVE writer (onnx/export.py) — hand-rolled opset-12
+    protobuf emitted straight from the fused param tree; no torch, no onnx
+    package needed. Validated against OpenCV-DNN (tests/test_onnx_export.py).
 
 Key deliberate improvement over the reference: the exported graph CONTAINS the
 polar ray decode (and optionally NMS) — the reference drops both at export
@@ -135,54 +137,65 @@ class Exporter:
                 tfl = conv.convert()
                 path = out_dir / f"{name}.tflite"
                 path.write_bytes(tfl)
-        else:  # onnx: saved_model -> tf2onnx (reference exporter.py:324-394)
-            # Recipe when tf2onnx/onnx are unavailable in the runtime image
-            # (zero-egress): export format='saved_model' here, then on any
-            # machine with the packages:
-            #   python -m tf2onnx.convert --saved-model <dir> --output m.onnx \
-            #       --opset 12 --rename-outputs output0
-            # The graph already contains the polar decode (and NMS when
-            # nms=True), so the ONNX consumer needs no custom postprocess
-            # beyond thresholding — unlike the reference, which drops decode
-            # at export (head.py:572) and makes consumers reimplement it.
-            try:
-                import onnx  # noqa: F401
-                import tf2onnx
-            except ImportError as e:
-                raise ImportError(
-                    "onnx export needs the 'onnx' + 'tf2onnx' packages (absent "
-                    "in this environment); use format='saved_model' and run "
-                    "tf2onnx offline — see the recipe in engine/exporter.py"
-                ) from e
-            import tensorflow as tf
-            from jax.experimental import jax2tf
+        else:  # onnx — native writer, no torch/onnx-package dependency
+            # The graph is emitted directly from the fused param tree by
+            # onnx/export.py (hand-rolled protobuf, opset 12, decode
+            # in-graph), mirroring the reference's primary deploy artifact
+            # (reference engine/exporter.py:324-394) without its torch
+            # dependency. Layout follows the ONNX ecosystem convention:
+            # input 'images' is (1, 3, imgsz, imgsz) NCHW RGB float in [0,1].
+            # NMS stays outside the graph (like the reference's ONNX);
+            # consumers use the C++/OpenCV postprocess from
+            # examples/polar-seg-cpp or ops/nms.py.
+            if include_nms:
+                LOGGER.warning(
+                    "onnx export carries decode in-graph but not NMS; "
+                    "ignoring nms=True (use stablehlo/saved_model for "
+                    "NMS-in-graph)"
+                )
+            from ..onnx.export import export_onnx
 
-            const_vars = jax.tree_util.tree_map(np.asarray, variables)
-            tf_fn = jax2tf.convert(lambda x: infer(const_vars, x), with_gradient=False)
-            spec = tf.TensorSpec((batch, imgsz, imgsz, 3), tf.float32, name="images")
-            func = tf.function(tf_fn, input_signature=[spec], autograph=False)
             path = out_dir / f"{name}.onnx"
-            onnx_model, _ = tf2onnx.convert.from_function(
-                func,
-                input_signature=[spec],
-                opset=int(getattr(self.args, "opset", None) or 12),
-                output_path=str(path),
-            )
-            # reference output naming: output0 (+ output1 for seg protos;
-            # the polar graph is single-output with contours inline)
-            import onnx as onnx_mod
+            try:
+                export_onnx(
+                    model, variables, str(path), imgsz=imgsz,
+                    metadata={k: json.dumps(v, default=str)
+                              for k, v in metadata.items()},
+                )
+            except NotImplementedError:
+                # rtdetr & friends: fall back to the tf2onnx route when the
+                # packages exist, else point at the documented offline recipe:
+                #   export format='saved_model', then
+                #   python -m tf2onnx.convert --saved-model <dir> \
+                #       --output m.onnx --opset 12
+                try:
+                    import tf2onnx  # noqa: F401
+                except ImportError as e:
+                    raise NotImplementedError(
+                        f"native onnx export does not cover the "
+                        f"'{model.head_name}' head, and tf2onnx is absent; "
+                        "use format='saved_model' + the offline tf2onnx "
+                        "recipe in engine/exporter.py"
+                    ) from e
+                import tensorflow as tf
+                from jax.experimental import jax2tf
 
-            m = onnx_mod.load(str(path))
-            for i, o in enumerate(m.graph.output):
-                # record original->canonical mapping in metadata_props
-                entry = m.metadata_props.add()
-                entry.key = f"output{i}"
-                entry.value = o.name
-            for k, v in metadata.items():
-                entry = m.metadata_props.add()
-                entry.key = str(k)
-                entry.value = json.dumps(v, default=str)
-            onnx_mod.save(m, str(path))
+                const_vars = jax.tree_util.tree_map(np.asarray, variables)
+                tf_fn = jax2tf.convert(
+                    lambda x: infer(const_vars, x), with_gradient=False
+                )
+                spec = tf.TensorSpec(
+                    (batch, imgsz, imgsz, 3), tf.float32, name="images"
+                )
+                func = tf.function(tf_fn, input_signature=[spec], autograph=False)
+                import tf2onnx.convert
+
+                tf2onnx.convert.from_function(
+                    func, input_signature=[spec],
+                    opset=int(getattr(self.args, "opset", None) or 12),
+                    output_path=str(path),
+                )
+            metadata["layout"] = "NCHW, RGB, float32 in [0,1]"
 
         with open(out_dir / f"{name}.metadata.json", "w") as fh:
             json.dump(metadata, fh, indent=2, default=str)

@@ -73,20 +73,36 @@ class AutoBackend:
         self._fn = jax.jit(lambda x: model.predict(variables, x))
 
     def _init_onnx(self):
+        """ONNX: onnxruntime when installed, else OpenCV-DNN (the consumer the
+        reference's C++ example uses, examples/YOLOv8-CPP-Inference). Native
+        onnx exports are NCHW (onnx/export.py); forward() keeps the NHWC
+        contract and transposes here."""
+        nchw = "NCHW" in str(self.metadata.get("layout", "NCHW"))
+
+        def to_input(x):
+            x = np.asarray(x, np.float32)
+            return x.transpose(0, 3, 1, 2).copy() if nchw and x.ndim == 4 else x
+
         try:
             import onnxruntime as ort
-        except ImportError as e:
-            raise ImportError(
-                "loading .onnx needs onnxruntime (not in this image); export "
-                "format='stablehlo' or 'saved_model' instead, or install "
-                "onnxruntime offline"
-            ) from e
-        sess = ort.InferenceSession(self.path, providers=["CPUExecutionProvider"])
-        inp = sess.get_inputs()[0].name
 
-        def fn(x):
-            out = sess.run(None, {inp: np.asarray(x, np.float32)})
-            return out[0] if len(out) == 1 else out
+            sess = ort.InferenceSession(
+                self.path, providers=["CPUExecutionProvider"]
+            )
+            inp = sess.get_inputs()[0].name
+
+            def fn(x):
+                out = sess.run(None, {inp: to_input(x)})
+                return out[0] if len(out) == 1 else out
+
+        except ImportError:
+            import cv2
+
+            net = cv2.dnn.readNetFromONNX(self.path)
+
+            def fn(x):
+                net.setInput(to_input(x))
+                return net.forward()
 
         self._fn = fn
         self.names = self.metadata.get("names", {})
