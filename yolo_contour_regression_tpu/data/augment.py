@@ -222,18 +222,18 @@ def random_hsv(img: np.ndarray, rng: random.Random, hgain=0.015, sgain=0.7, vgai
     return img
 
 
-def random_flip(s: Sample, rng: random.Random, fliplr: float = 0.5, flipud: float = 0.0) -> Sample:
+def random_flip(s: Sample, rng: random.Random, fliplr: float = 0.5, flipud: float = 0.0, flip_idx=None) -> Sample:
     h, w = s.img.shape[:2]
     if rng.random() < flipud:
         s.img = np.flipud(s.img).copy()
         s.inst.flipud(h)
     if rng.random() < fliplr:
         s.img = np.fliplr(s.img).copy()
-        s.inst.fliplr(w)
+        s.inst.fliplr(w, flip_idx)
     return s
 
 
-def train_transform(get_sample, index: int, n_total: int, imgsz: int, hyp, rng: random.Random) -> Sample:
+def train_transform(get_sample, index: int, n_total: int, imgsz: int, hyp, rng: random.Random, flip_idx=None) -> Sample:
     """The v8_transforms train chain for one output sample
     (reference augment.py:918): mosaic(p) -> perspective -> mixup(p) ->
     hsv -> flips. `get_sample(i)` loads raw Sample i."""
@@ -269,7 +269,7 @@ def train_transform(get_sample, index: int, n_total: int, imgsz: int, hyp, rng: 
             hyp.perspective, (0, 0),
         )
     s.img = random_hsv(s.img, rng, hyp.hsv_h, hyp.hsv_s, hyp.hsv_v)
-    s = random_flip(s, rng, hyp.fliplr, hyp.flipud)
+    s = random_flip(s, rng, hyp.fliplr, hyp.flipud, flip_idx)
     return s
 
 

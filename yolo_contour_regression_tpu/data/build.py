@@ -145,6 +145,7 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         seed=getattr(cfg, "seed", 0),
         cache_images=getattr(cfg, "cache", False),
         kpt_shape=data.get("kpt_shape") if cfg.task == "pose" else None,
+        flip_idx=data.get("flip_idx") if cfg.task == "pose" else None,
     )
 
 

@@ -108,8 +108,10 @@ class YOLODataset:
         cache: bool = True,
         cache_images=False,
         kpt_shape=None,
+        flip_idx=None,
     ):
         self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
+        self.flip_idx = tuple(flip_idx) if flip_idx else None
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
@@ -243,7 +245,8 @@ class YOLODataset:
                 hyp = _copy.copy(hyp)
                 hyp.mosaic = 0.0
                 hyp.mixup = 0.0
-            s = train_transform(self.load_raw, i, len(self), self.imgsz, hyp, self.rng)
+            s = train_transform(self.load_raw, i, len(self), self.imgsz, hyp,
+                                self.rng, flip_idx=self.flip_idx)
         else:
             s = letterbox_sample(self.load_raw(i), self.imgsz, scaleup=False)
         return format_sample(s, self.max_instances)

@@ -78,13 +78,18 @@ class Instances:
             self.keypoints[..., 0] += dx
             self.keypoints[..., 1] += dy
 
-    def fliplr(self, w: int):
+    def fliplr(self, w: int, flip_idx=None):
         x1 = self.bboxes[:, 0].copy()
         self.bboxes[:, 0] = w - self.bboxes[:, 2]
         self.bboxes[:, 2] = w - x1
         self.segments[..., 0] = w - self.segments[..., 0]
         if self.keypoints is not None:
             self.keypoints[..., 0] = w - self.keypoints[..., 0]
+            if flip_idx is not None:
+                # left/right keypoints swap identity under a horizontal flip
+                # (reference augment.py RandomFlip: x[:, flip_idx] with the
+                # dataset yaml's flip_idx permutation)
+                self.keypoints = self.keypoints[:, list(flip_idx), :]
 
     def flipud(self, h: int):
         y1 = self.bboxes[:, 1].copy()

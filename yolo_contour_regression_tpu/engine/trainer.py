@@ -125,6 +125,15 @@ class BaseTrainer:
         model_cfg = args.model or "yolov8n-seg.yaml"
         if self._resume_ckpt is not None:
             model_cfg = self._resume_ckpt["model_yaml"]
+        if args.task == "pose" and data.get("kpt_shape"):
+            # dataset keypoint shape overrides the model yaml's (reference
+            # models/yolo/pose/train.py:36 data_kpt_shape)
+            from ..nn.tasks import yaml_model_load
+
+            if isinstance(model_cfg, (str, Path)):
+                model_cfg = yaml_model_load(model_cfg)
+            model_cfg = dict(model_cfg)
+            model_cfg["kpt_shape"] = [int(v) for v in data["kpt_shape"]]
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16 if args.amp else jnp.float32

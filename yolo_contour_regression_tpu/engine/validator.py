@@ -598,6 +598,13 @@ class PoseValidator(DetectionValidator):
         imgsz = args.imgsz
         kpt_shape = model.kpt_shape
         nk = kpt_shape[0] * kpt_shape[1]
+        # COCO sigmas only for the 17-kpt layout, else uniform (reference
+        # models/yolo/pose/val.py:57)
+        sigma = (
+            np.asarray(OKS_SIGMA)
+            if kpt_shape[0] == len(OKS_SIGMA)
+            else np.full(kpt_shape[0], 1.0 / kpt_shape[0])
+        )
         nc = model.nc
         max_det = args.max_det
 
@@ -658,7 +665,7 @@ class PoseValidator(DetectionValidator):
                     area = np.clip(
                         (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]) * 0.53, 1, None
                     )
-                    oks = kpt_iou(gk, pk, area, np.asarray(OKS_SIGMA))
+                    oks = kpt_iou(gk, pk, area, sigma)
                     tp_p = match_predictions(pred_cls, tcls, oks)
                     metrics.pose.update(tp_p, conf, pred_cls, tcls)
         metrics.process()

@@ -259,10 +259,17 @@ def pose_loss(
     area = jnp.prod(
         assign.target_bboxes[..., 2:] - assign.target_bboxes[..., :2], axis=-1
     )[..., None]
-    d2 = ((kxy - sel_kxy) ** 2).sum(-1)  # (B, A, 17)
+    d2 = ((kxy - sel_kxy) ** 2).sum(-1)  # (B, A, K)
     # OKS denominator is (2*sigma)^2 (reference KeypointLoss loss.py:183 and
-    # cocoeval), matching kpt_iou in utils/metrics.py
-    e = d2 / ((2 * OKS_SIGMA[None, None, :]) ** 2) / (area + 1e-9) / 2
+    # cocoeval), matching kpt_iou in utils/metrics.py. COCO sigmas apply only
+    # to the 17-kpt layout; otherwise uniform 1/K (reference v8PoseLoss
+    # loss.py:240: sigmas = OKS_SIGMA if is_pose else ones(nkpt)/nkpt).
+    sigmas = (
+        OKS_SIGMA
+        if kpt_shape[0] == OKS_SIGMA.shape[0]
+        else jnp.full((kpt_shape[0],), 1.0 / kpt_shape[0], dt)
+    )
+    e = d2 / ((2 * sigmas[None, None, :]) ** 2) / (area + 1e-9) / 2
     loss_kpt = (
         ((1 - jnp.exp(-e)) * kpt_mask).sum()
         / jnp.maximum(kpt_mask.sum(), 1.0)
