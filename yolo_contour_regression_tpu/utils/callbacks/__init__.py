@@ -19,22 +19,18 @@ def get_default_callbacks() -> Dict[str, List[Callable]]:
 
 def add_integration_callbacks(instance):
     """Attach available integrations to a trainer-like object with a
-    ``callbacks`` dict (reference callbacks/base.py:191)."""
-    from . import mlflow, tensorboard, wb
+    ``callbacks`` dict (reference callbacks/base.py:191). Mirrors the
+    reference's nine sinks: tensorboard, wandb, mlflow, comet, clearml,
+    neptune, dvclive, raytune, hub — each package-gated inside its module."""
+    from . import clearml, comet, dvc, hub, mlflow, neptune, raytune, tensorboard, wb
 
-    for module in (tensorboard, wb, mlflow):
+    for module in (tensorboard, wb, mlflow, comet, clearml, neptune, dvc, raytune, hub):
         cbs = module.callbacks(instance)
         if not cbs:
             continue
         for event, fn in cbs.items():
             if fn not in instance.callbacks.get(event, []):
                 instance.callbacks.setdefault(event, []).append(fn)
-    for name in ("comet_ml", "clearml", "neptune", "dvclive"):
-        try:
-            __import__(name)
-            LOGGER.info(f"callback integration available but not wired: {name}")
-        except ImportError:
-            pass
 
 
 def run_callbacks(instance, event: str):
