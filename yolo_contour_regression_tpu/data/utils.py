@@ -51,6 +51,24 @@ def check_det_dataset(data) -> Dict:
         d[split] = str(vp if vp.is_absolute() else base / vp)
     if "val" not in d or d.get("val") is None:
         d["val"] = d.get("test") or d.get("train")
+    # dataset auto-download (reference data/utils.py check_det_dataset: runs
+    # the yaml's 'download' URL(s) when the val split is missing on disk;
+    # script-style download recipes are logged, not executed)
+    val = d.get("val")
+    if val and not Path(val).exists() and d.get("download"):
+        dl = d["download"]
+        if isinstance(dl, str) and dl.lstrip().startswith(("http://", "https://")):
+            from ..utils.downloads import download
+
+            download(dl.split(), dir=base, unzip=True, delete=True)
+        else:
+            from ..utils import LOGGER
+
+            LOGGER.warning(
+                f"dataset split '{val}' missing; yaml 'download' is a script "
+                "recipe — run it manually (auto-exec of shell/python recipes "
+                "is disabled in this build)"
+            )
     return d
 
 

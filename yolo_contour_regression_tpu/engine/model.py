@@ -114,6 +114,12 @@ class YOLO:
         self.overrides["task"] = self.task
 
     def _load(self, weights: str, task: Optional[str]):
+        if not Path(weights).exists():
+            # known release assets resolve through the local asset cache
+            # (reference engine/model.py via attempt_download_asset)
+            from ..utils.downloads import attempt_download_asset
+
+            weights = attempt_download_asset(weights)
         ckpt = load_checkpoint(weights)
         self.ckpt = ckpt
         cfg = ckpt["model_yaml"]
