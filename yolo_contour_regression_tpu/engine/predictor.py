@@ -50,19 +50,33 @@ def iter_source(source) -> Iterator:
     p = str(source)
     if p.startswith("screen"):
         # screenshot stream (reference data/loaders.py:119 LoadScreenshots):
-        # "screen" or "screen<N>" grabs monitor N continuously; gated on mss
+        # "screen", "screen <N>", or "screen <N> <left> <top> <w> <h>"
+        # (also "<left> <top> <w> <h>" on screen 0); gated on mss
         try:
             import mss
         except ImportError as e:
             raise ImportError(
                 "screenshot source needs the 'mss' package (not in this image)"
             ) from e
-        mon_idx = int(p[6:]) if p[6:].isdigit() else 1
+        params = p.replace("screen", "", 1).replace(",", " ").split()
+        mon_idx, left, top, width, height = 0, None, None, None, None
+        if len(params) == 1:
+            mon_idx = int(params[0])
+        elif len(params) == 4:
+            left, top, width, height = (int(x) for x in params)
+        elif len(params) == 5:
+            mon_idx, left, top, width, height = (int(x) for x in params)
         with mss.mss() as sct:
             mon = sct.monitors[mon_idx]
+            region = {
+                "left": mon["left"] + (left or 0),
+                "top": mon["top"] + (top or 0),
+                "width": width or mon["width"],
+                "height": height or mon["height"],
+            }
             i = 0
             while True:
-                frame = np.asarray(sct.grab(mon))[:, :, :3]  # BGRA -> BGR
+                frame = np.asarray(sct.grab(region))[:, :, :3]  # BGRA -> BGR
                 yield f"screen{mon_idx}#frame{i}", np.ascontiguousarray(frame)
                 i += 1
         return
