@@ -25,7 +25,15 @@ def __getattr__(name):
         from .cfg import DEFAULT_CFG_DICT
 
         return DEFAULT_CFG_DICT
+    if name == "NAS":
+        from .models.nas import NAS
+
+        return NAS
+    if name == "RTDETR":
+        from .models.rtdetr import RTDETR
+
+        return RTDETR
     raise AttributeError(name)
 
 
-__all__ = ["YOLO", "__version__"]
+__all__ = ["YOLO", "NAS", "RTDETR", "__version__"]

@@ -338,3 +338,48 @@ class HGBlock(nn.Module):
         if self.shortcut and x.shape[-1] == self.c2:
             y = y + x
         return y
+
+
+class NASBottleneck(nn.Module):
+    """QARepVGG-style residual bottleneck: two RepConv 3x3 with identity add.
+
+    The YOLO-NAS building block (the reference wraps super-gradients'
+    YoloNASBottleneck — no architecture code in-repo, see reference
+    models/nas/model.py:34: the graph lives in the external package). Deploy
+    mode reparameterizes each RepConv into one 3x3 (nn/fuse.py), so the
+    fused block is two convs + add — MXU-friendly and quantization-clean.
+    """
+
+    c2: int
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = RepConv(self.c2, dtype=self.dtype, name="cv1")(x, train)
+        y = RepConv(self.c2, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            y = y + x
+        return y
+
+
+class NASCSP(nn.Module):
+    """YOLO-NAS CSP stage (super-gradients YoloNASCSPLayer semantics): 1x1
+    split into a NASBottleneck chain and a bypass, concat, 1x1 out."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = NASBottleneck(c_, self.shortcut, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )

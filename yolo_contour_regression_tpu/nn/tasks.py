@@ -55,6 +55,7 @@ REGISTRY: Dict[str, Tuple[Any, Tuple[str, ...], str]] = {
     "C3x": (block_mod.C3x, ("c2", "n", "shortcut", "g", "e"), "csp"),
     "C3Ghost": (block_mod.C3Ghost, ("c2", "n", "shortcut", "g", "e"), "csp"),
     "RepC3": (block_mod.RepC3, ("c2", "n", "e"), "csp"),
+    "NASCSP": (block_mod.NASCSP, ("c2", "n", "shortcut", "e"), "csp"),
     "RepBlock": (block_mod.RepBlock, ("c2", "n", "shortcut"), "csp"),
     "HGStem": (block_mod.HGStem, ("cm", "c2"), "hg"),
     "HGBlock": (block_mod.HGBlock, ("cm", "c2", "k", "n", "lightconv", "shortcut", "act"), "hg"),
@@ -300,12 +301,16 @@ def yaml_model_load(path) -> dict:
     m = re.match(r"(.*yolov\d+)([nslmx])([-_].+)?$", stem) or re.match(
         r"(.*yolov\d+)([nslmx])$", stem
     )
+    nas = re.match(r"(yolo_nas)_([sml])$", stem)
     scale = ""
     name = path
     if m:
         scale = m.group(2)
         base_stem = m.group(1) + (m.group(3) or "")
         name = path.with_name(base_stem + path.suffix)
+    elif nas:  # yolo_nas_s -> yolo_nas.yaml scale s
+        scale = nas.group(2)
+        name = path.with_name(nas.group(1) + (path.suffix or ".yaml"))
     search = [name, path]
     from ..cfg import MODELS_DIR  # local import to avoid cycle
 

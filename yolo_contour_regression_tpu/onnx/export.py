@@ -132,6 +132,19 @@ def _c1(g, p, x, kw) -> str:
     return g.add(z, y)
 
 
+def _nascsp(g, p, x, kw) -> str:
+    n = kw.get("n", 1)
+    shortcut = kw.get("shortcut", True)
+    y1 = _conv(g, p["cv1"], x)
+    for i in range(n):
+        m = p[f"m{i}"]
+        y = _conv(g, m["cv1"], y1)
+        y = _conv(g, m["cv2"], y)
+        y1 = g.add(y1, y) if shortcut else y
+    y2 = _conv(g, p["cv2"], x)
+    return _conv(g, p["cv3"], g.concat([y1, y2], 1))
+
+
 def _sppf(g, p, x, kw) -> str:
     k = kw.get("k", 5)
     pad = k // 2
@@ -423,6 +436,8 @@ def export_onnx(model, variables, path, imgsz: int = 640,
                 out = _c3(g, params[pname], x, kw)
             elif spec.name == "C1":
                 out = _c1(g, params[pname], x, kw)
+            elif spec.name == "NASCSP":
+                out = _nascsp(g, params[pname], x, kw)
             elif spec.name == "SPPF":
                 out = _sppf(g, params[pname], x, kw)
             elif spec.name == "SPP":
