@@ -105,3 +105,27 @@ def test_model_info_flops():
     info = model_info(m, imgsz=64, verbose=False)
     assert info["parameters"] > 1e6
     assert info["GFLOPs"] is None or info["GFLOPs"] > 0
+
+
+def test_mobile_sam_tinyvit_pipeline():
+    """MobileSAM variant: TinyViT encoder ends at 1/16 with the 256-ch SAM
+    neck and plugs into the same prompt pipeline (reference build_mobile_sam)."""
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.models.sam import Predictor, Sam
+
+    sam = Sam(variant="mobile_sam", img_size=64)
+    v = sam.init()
+    emb = sam.encode_image(v, jnp.zeros((1, 64, 64, 3)))
+    assert emb.shape == (1, 4, 4, 256)  # 64/16
+    pred = Predictor(sam)
+    img = np.full((48, 56, 3), 128, np.uint8)
+    pred.set_image(img)
+    masks, iou = pred.predict(point_coords=[[28, 24]], point_labels=[1])
+    assert masks.shape == (3, 48, 56) and iou.shape == (3,)
+
+    # TinyViT-5M must be far smaller than ViT-B (the point of MobileSAM)
+    import jax
+
+    n_tiny = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["encoder"]))
+    assert n_tiny < 15e6

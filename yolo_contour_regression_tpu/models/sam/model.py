@@ -22,6 +22,8 @@ SAM_VARIANTS = {
     "sam_l": (1024, 24, 16, (5, 11, 17, 23)),
     "sam_h": (1280, 32, 16, (7, 15, 23, 31)),
 }
+# TinyViT-encoder variants (reference build.py:build_mobile_sam)
+MOBILE_VARIANTS = ("mobile_sam", "sam_t")
 
 
 class Sam:
@@ -30,12 +32,17 @@ class Sam:
     mask_threshold: float = 0.0
 
     def __init__(self, variant: str = "sam_b", img_size: int = 1024, dtype=jnp.float32):
-        ed, depth, nh, gai = SAM_VARIANTS[variant]
         self.img_size = img_size
-        self.encoder = ImageEncoderViT(
-            img_size=img_size, embed_dim=ed, depth=depth, num_heads=nh,
-            global_attn_indexes=gai, dtype=dtype,
-        )
+        if variant in MOBILE_VARIANTS:  # MobileSAM: TinyViT-5M encoder
+            from .tinyvit import TinyViT
+
+            self.encoder = TinyViT(img_size=img_size, dtype=dtype)
+        else:
+            ed, depth, nh, gai = SAM_VARIANTS[variant]
+            self.encoder = ImageEncoderViT(
+                img_size=img_size, embed_dim=ed, depth=depth, num_heads=nh,
+                global_attn_indexes=gai, dtype=dtype,
+            )
         emb_hw = img_size // 16
         self.prompt_encoder = PromptEncoder(
             image_embedding_size=(emb_hw, emb_hw),
@@ -144,8 +151,10 @@ def build_sam(variant: str = "sam_b", img_size: int = 1024) -> Sam:
     cannot be fetched in this zero-egress environment; the architecture is
     fully functional for training/fine-tuning and for loading converted
     weights via the variables pytree."""
-    if variant not in SAM_VARIANTS:
-        raise ValueError(f"variant '{variant}' not in {list(SAM_VARIANTS)}")
+    if variant not in SAM_VARIANTS and variant not in MOBILE_VARIANTS:
+        raise ValueError(
+            f"variant '{variant}' not in {list(SAM_VARIANTS) + list(MOBILE_VARIANTS)}"
+        )
     return Sam(variant=variant, img_size=img_size)
 
 
