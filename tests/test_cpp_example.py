@@ -92,3 +92,67 @@ def test_cpp_matches_python(demo_bin, tmp_path):
             fill_polygons(jnp.asarray(pts)[None], jnp.asarray(vmask)[None], imgsz, imgsz)
         )[0]
         assert abs(int(row[6]) - int(py_mask.sum())) <= py_mask.sum() * 0.02 + 4
+
+
+@pytest.fixture(scope="module")
+def onnx_demo_bin(tmp_path_factory):
+    gxx = shutil.which("g++")
+    if gxx is None or not Path("/usr/include/opencv4").exists():
+        pytest.skip("g++/OpenCV headers unavailable")
+    out = tmp_path_factory.mktemp("cppbuild2") / "polar_onnx_demo"
+    subprocess.run(
+        [gxx, "-O2", "-std=c++17", "-I/usr/include/opencv4",
+         "-o", str(out),
+         str(CPP_DIR / "onnx_infer.cpp"), str(CPP_DIR / "polar_postprocess.cpp"),
+         "-lopencv_core", "-lopencv_dnn", "-lopencv_imgcodecs", "-lopencv_imgproc"],
+        check=True,
+    )
+    return out
+
+
+def test_cpp_onnx_consumer(onnx_demo_bin, tmp_path):
+    """Native ONNX export -> OpenCV-DNN C++ forward -> C++ polar postprocess
+    matches the python AutoBackend + python NMS on the same image."""
+    import cv2
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.nn.autobackend import AutoBackend
+    from yolo_contour_regression_tpu.engine.model import YOLO
+    from yolo_contour_regression_tpu.ops.nms import non_max_suppression
+
+    imgsz = 64
+    m = YOLO("yolov8n-seg.yaml")
+    m.model.init(imgsz=imgsz)
+    path = m.export(format="onnx", imgsz=imgsz, project=str(tmp_path))
+
+    img = np.full((imgsz, imgsz, 3), 40, np.uint8)
+    cv2.circle(img, (32, 32), 12, (180, 180, 180), -1)
+    img_path = tmp_path / "im.png"
+    cv2.imwrite(str(img_path), img)
+
+    cpp = subprocess.run(
+        [str(onnx_demo_bin), path, str(img_path), str(imgsz), "0.001", "0.7", "32"],
+        capture_output=True, text=True, check=True,
+    )
+    cpp_rows = [
+        [float(v) for v in line.split()] for line in cpp.stdout.strip().splitlines()
+    ]
+
+    # python reference: AutoBackend forward (same cv2.dnn engine) + python NMS
+    backend = AutoBackend(path)
+    x = img[None, ..., ::-1].astype(np.float32) / 255.0  # BGR->RGB NHWC
+    pred = backend(x)
+    out = non_max_suppression(
+        jnp.asarray(pred), nc=m.model.nc, conf_thres=0.001, iou_thres=0.7,
+        pre_nms=64, max_det=32,
+    )
+    valid = np.asarray(out["valid"][0])
+    assert len(cpp_rows) == int(valid.sum())
+    if cpp_rows:
+        py_boxes = np.asarray(out["boxes"][0])[valid]
+        py_scores = np.asarray(out["scores"][0])[valid]
+        cpp_rows.sort(key=lambda r: -r[4])
+        order = np.argsort(-py_scores)
+        for row, j in zip(cpp_rows, order):
+            np.testing.assert_allclose(row[:4], py_boxes[j], atol=5e-2, rtol=1e-3)
+            assert abs(row[4] - py_scores[j]) < 1e-4

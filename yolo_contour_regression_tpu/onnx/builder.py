@@ -141,8 +141,11 @@ class GraphBuilder:
         return self.div(e, s)
 
     def clip_min(self, x, lo: float):
-        """max(x, lo) via Clip with only `min` provided (opset 11+ inputs)."""
-        return self.node("Clip", [x, self.c(np.float32(lo), hint="lo")])
+        """max(x, lo) as Relu(x - lo) + lo. Equivalent to opset-11 Clip with
+        only `min`, but works in consumers (OpenCV <= 4.6 C++) that only
+        accept the pre-opset-11 attribute form of Clip."""
+        lo_c = self.c(np.float32(lo), hint="lo")
+        return self.add(self.relu(self.sub(x, lo_c)), lo_c)
 
     # -- serialization -------------------------------------------------------
     def serialize(self, opset: int = 12, metadata: Optional[Dict] = None) -> bytes:

@@ -216,13 +216,22 @@ def _decode_polar(g, levels, nc: int, strides, imgsz: int) -> str:
     x = _flatten_cat(g, levels, NUM_RAYS + nc, hw)  # (B, 36+nc, A)
     rays = g.slice(x, [0], [NUM_RAYS], [1])
     cls = g.slice(x, [NUM_RAYS], [NUM_RAYS + nc], [1])
-    stride_row = g.c(st.reshape(1, 1, a), hint="stride")
+
+    # constants materialized at the full (1, 36, A) broadcast shape: OpenCV's
+    # C++ ONNX importer (<= 4.6) only supports same-shape or per-channel
+    # elementwise operands, not last-axis broadcast (~5 MB at 640px, free at
+    # load time in every other runtime)
+    def full(v, hint):
+        return g.c(np.broadcast_to(v, (1, NUM_RAYS, a)).astype(np.float32).copy(),
+                   hint=hint)
+
+    stride_row = full(st.reshape(1, 1, a), "stride")
     rays_px = g.clip_min(g.mul(rays, stride_row), RAY_EPS)
     theta = np.arange(0, 360, 360 // NUM_RAYS, dtype=np.float64) * math.pi / 180.0
-    cos = g.c(np.cos(theta).astype(np.float32).reshape(1, NUM_RAYS, 1), hint="cos")
-    sin = g.c(np.sin(theta).astype(np.float32).reshape(1, NUM_RAYS, 1), hint="sin")
-    cx = g.c((ax * st).reshape(1, 1, a), hint="cx")
-    cy = g.c((ay * st).reshape(1, 1, a), hint="cy")
+    cos = full(np.cos(theta).reshape(1, NUM_RAYS, 1), "cos")
+    sin = full(np.sin(theta).reshape(1, NUM_RAYS, 1), "sin")
+    cx = full((ax * st).reshape(1, 1, a), "cx")
+    cy = full((ay * st).reshape(1, 1, a), "cy")
     segx = g.add(g.mul(rays_px, cos), cx)  # (B, 36, A)
     segy = g.add(g.mul(rays_px, sin), cy)
     valid = g.node(
