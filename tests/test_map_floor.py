@@ -46,3 +46,48 @@ def test_committed_checkpoint_meets_mask_map_floor(tmp_path):
         f"mask mAP {res['metrics/mAP50-95(M)']:.4f} < committed floor {floor_m}"
     )
     assert res["metrics/mAP50-95(B)"] >= floor_b
+
+
+def _floor_case(task, suffix, make_ds_name, tmp_path):
+    """Re-validate a committed per-task floor checkpoint from scratch."""
+    import tests.helpers as helpers
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    fdir = ROOT / "runs" / f"floor_{suffix}"
+    ckpt, record_p = fdir / "best.ckpt", fdir / "floor.json"
+    if not (ckpt.exists() and record_p.exists()):
+        pytest.skip(f"floor_{suffix} artifacts missing (train_floor.py {task})")
+    record = json.loads(record_p.read_text())
+    cfg = record["config"]
+    if task == "classify":
+        helpers.make_cls_dataset(
+            tmp_path / "ds", n_train=cfg["n_train"], n_val=cfg["n_val"],
+            imgsz=cfg["imgsz"], seed=cfg["seed"],
+        )
+        data = str(tmp_path / "ds")
+    else:
+        data = str(getattr(helpers, make_ds_name)(
+            tmp_path / "ds", n_train=cfg["n_train"], n_val=cfg["n_val"],
+            imgsz=cfg["imgsz"], seed=cfg["seed"],
+        ))
+    m = YOLO(str(ckpt))
+    res = m.val(data=data, task=task, imgsz=cfg["imgsz"], batch=4,
+                project=str(tmp_path / "runs"))
+    for key, name in record["floor_keys"].items():
+        floor = record["floor"][name]
+        assert res[key] >= floor, f"{key} {res[key]:.4f} < committed floor {floor}"
+
+
+@pytest.mark.slow
+def test_committed_detect_floor(tmp_path):
+    _floor_case("detect", "detect", "make_shape_dataset", tmp_path)
+
+
+@pytest.mark.slow
+def test_committed_pose_floor(tmp_path):
+    _floor_case("pose", "pose", "make_pose_dataset", tmp_path)
+
+
+@pytest.mark.slow
+def test_committed_classify_floor(tmp_path):
+    _floor_case("classify", "classify", "make_cls_dataset", tmp_path)
