@@ -57,3 +57,41 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_tp_sharded_forward_matches_replicated():
+    """Tensor-parallel param placement (conv output channels over 'model')
+    must not change the math: GSPMD inserts the collectives, results match
+    the replicated run bit-for-bit up to reduction order."""
+    from yolo_contour_regression_tpu.parallel import shard_params_tp
+    from yolo_contour_regression_tpu.parallel.mesh import param_sharding_rule
+
+    mesh = create_mesh(jax.devices()[:8], axes={"batch": 4, "model": 2})
+    rng = np.random.default_rng(0)
+    params = {
+        "k1": jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 16)).astype(np.float32)),
+        "b1": jnp.asarray(rng.normal(0, 0.1, (16,)).astype(np.float32)),
+        "k2": jnp.asarray(rng.normal(0, 0.1, (3, 3, 16, 8)).astype(np.float32)),
+        "scalar": jnp.float32(2.0),
+    }
+    x = jnp.asarray(rng.normal(0, 1, (4, 8, 8, 8)).astype(np.float32))
+
+    def f(p, x):
+        y = jax.lax.conv_general_dilated(
+            x, p["k1"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + p["b1"]
+        y = jax.nn.relu(y)
+        y = jax.lax.conv_general_dilated(
+            y, p["k2"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return y * p["scalar"]
+
+    ref = f(params, x)
+    p_tp = shard_params_tp(mesh, params)
+    # kernels sharded on O, scalar replicated
+    assert not p_tp["k1"].sharding.is_fully_replicated
+    assert p_tp["scalar"].sharding.is_fully_replicated
+    assert param_sharding_rule(mesh, params["b1"]).spec == jax.sharding.PartitionSpec("model")
+    x_s = shard_batch(mesh, x)
+    got = jax.jit(f)(p_tp, x_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)

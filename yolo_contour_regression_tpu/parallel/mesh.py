@@ -96,3 +96,32 @@ def shard_microbatches(mesh: Mesh, tree):
 def replicate_tree(mesh: Mesh, tree):
     sharding = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def param_sharding_rule(mesh: Mesh, x, axis: str = "model") -> NamedSharding:
+    """Tensor-parallel placement for one param leaf: shard the OUTPUT-channel
+    (last) dim over ``axis`` when divisible, else replicate.
+
+    Conv kernels are HWIO and Dense kernels (in, out) — sharding O splits
+    each layer's filters across the model axis; XLA/GSPMD then inserts the
+    minimal collectives where a following op needs the full channel axis
+    (the "weight-stationary" tensor parallelism of the scaling playbook,
+    obsoleting the reference's single-axis DDP world view)."""
+    if axis not in mesh.axis_names:
+        return replicate(mesh)
+    tp = mesh.shape[axis]
+    if x.ndim >= 1 and x.shape[-1] % tp == 0 and x.shape[-1] >= 2 * tp:
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), axis))
+    return replicate(mesh)
+
+
+def shard_params_tp(mesh: Mesh, tree, axis: str = "model"):
+    """Place a params/EMA/optimizer pytree with tensor-parallel sharding
+    (``param_sharding_rule`` per leaf). Scalars and small leaves replicate."""
+    def put(x):
+        import numpy as _np
+
+        x = _np.asarray(x) if not hasattr(x, "sharding") else x
+        return jax.device_put(x, param_sharding_rule(mesh, x, axis))
+
+    return jax.tree_util.tree_map(put, tree)
