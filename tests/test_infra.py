@@ -187,3 +187,34 @@ def test_mosaic9_and_copy_paste():
     n_before = len(s2.inst)
     out = A.copy_paste(s2, p=1.0, rng=rng)
     assert len(out.inst) >= n_before  # pasted or skipped on collision, never lost
+
+
+def test_hub_api_surface(tmp_path, monkeypatch):
+    """hub module API (reference hub/__init__.py): reset/export-formats/
+    check_dataset against the local registry."""
+    import yolo_contour_regression_tpu.hub.api as hub_api
+    import yolo_contour_regression_tpu.hub.session as hub_session
+
+    monkeypatch.setattr(hub_session, "HUB_DIR", tmp_path / "hub")
+    monkeypatch.setattr(hub_api, "HUB_DIR", tmp_path / "hub")
+
+    assert "onnx" in hub_api.export_fmts_hub()
+    hub_api.start("k_m")  # deprecation shim must not raise
+    with pytest.raises(AssertionError):
+        hub_api.export_model("x", format="torchscript")
+
+    # registry reset
+    d = tmp_path / "hub" / "m1"
+    d.mkdir(parents=True)
+    (d / "metrics.jsonl").write_text("{}")
+    hub_api.reset_model("m1")
+    assert not (d / "metrics.jsonl").exists() and d.exists()
+
+    # dataset zip check (detect)
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.utils.downloads import zip_directory
+
+    make_shape_dataset(tmp_path / "ds", n_train=2, n_val=2, imgsz=32, seed=0)
+    z = zip_directory(tmp_path / "ds")
+    stats = hub_api.check_dataset(str(z), task="segment")
+    assert stats["nc"] == 2

@@ -7,6 +7,17 @@ provided against a LOCAL run registry: login() records a key, HubSession
 writes heartbeats/metrics to ~/.ycr_hub/<run_id>/ so external tooling can
 tail them. The API mirrors hub.login/logout/start + HUBTrainingSession.
 """
+from .api import (
+    check_dataset,
+    export_fmts_hub,
+    export_model,
+    get_export,
+    reset_model,
+    start,
+)
 from .session import HubSession, login, logout
 
-__all__ = ["HubSession", "login", "logout"]
+__all__ = [
+    "HubSession", "login", "logout", "start", "reset_model",
+    "export_fmts_hub", "export_model", "get_export", "check_dataset",
+]
