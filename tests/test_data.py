@@ -167,3 +167,23 @@ def test_image_cache_ram_and_disk(tmp_path):
         np.testing.assert_array_equal(disk[i]["img"], want)
         np.testing.assert_array_equal(disk[i]["img"], want)  # mmap hit
     assert any((tmp_path / "images" / "train" / ".img_cache").iterdir())
+
+
+def test_pixel_augment_ops():
+    """Native Blur/MedianBlur/ToGray/CLAHE (the reference's active
+    Albumentations set) fire per their probabilities and only touch pixels."""
+    import random
+
+    from yolo_contour_regression_tpu.data.augment import pixel_augment
+
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+    # p=0 -> identity
+    out = pixel_augment(img.copy(), random.Random(0), p=0.0)
+    np.testing.assert_array_equal(out, img)
+    # p=1 -> all four fire; shape/dtype preserved, image actually changed
+    out = pixel_augment(img.copy(), random.Random(0), p=1.0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).mean() > 1
+    # ToGray leaves channels equal when it is the last-applied color op
+    g = pixel_augment(img.copy(), random.Random(1), p=1.0)
+    assert g.shape == (32, 32, 3)

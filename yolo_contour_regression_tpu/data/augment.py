@@ -268,9 +268,32 @@ def train_transform(get_sample, index: int, n_total: int, imgsz: int, hyp, rng: 
             s, imgsz, rng, hyp.degrees, hyp.translate, hyp.scale, hyp.shear,
             hyp.perspective, (0, 0),
         )
+    s.img = pixel_augment(s.img, rng)
     s.img = random_hsv(s.img, rng, hyp.hsv_h, hyp.hsv_s, hyp.hsv_v)
     s = random_flip(s, rng, hyp.fliplr, hyp.flipud, flip_idx)
     return s
+
+
+def pixel_augment(img: np.ndarray, rng: random.Random, p: float = 0.01) -> np.ndarray:
+    """Native equivalents of the reference's active Albumentations transforms
+    (augment.py:706-713: Blur/MedianBlur/ToGray/CLAHE, each p=0.01), applied
+    at the same pipeline position — no albumentations dependency. Pixel-only:
+    boxes/segments/keypoints are untouched."""
+    if rng.random() < p:  # Blur
+        k = rng.choice([3, 5, 7])
+        img = cv2.blur(img, (k, k))
+    if rng.random() < p:  # MedianBlur
+        img = cv2.medianBlur(img, rng.choice([3, 5, 7]))
+    if rng.random() < p:  # ToGray
+        img = cv2.cvtColor(
+            cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), cv2.COLOR_GRAY2BGR
+        )
+    if rng.random() < p:  # CLAHE (8x8 tiles, clip 4 — albumentations defaults)
+        clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
+        lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+        lab[..., 0] = clahe.apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+    return img
 
 
 def format_sample(s: Sample, max_instances: int) -> Dict[str, np.ndarray]:
