@@ -61,11 +61,13 @@ def test_fastsam_prompts():
         p.text_prompt("a dog")
 
 
-def test_nas_raises_with_guidance():
+def test_nas_pt_raises_with_guidance():
+    """NAS is a native architecture now (tests/test_nas.py); only the
+    torch-pickle .pt route still raises, pointing at the converter."""
     from yolo_contour_regression_tpu.models.nas import NAS
 
     with pytest.raises(NotImplementedError, match="super-gradients"):
-        NAS()
+        NAS("yolo_nas_s.pt")
 
 
 def test_autobackend_yaml_and_ckpt(tmp_path):

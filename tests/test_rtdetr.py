@@ -148,3 +148,21 @@ def test_rtdetr_val_native_space(rtdetr, tmp_path):
     }))
     res = val(model=m, variables=v, data=str(yaml_path))
     assert "metrics/mAP50-95(B)" in res and np.isfinite(res["metrics/mAP50-95(B)"])
+
+
+def test_rtdetr_fuse_parity():
+    """Deploy fuse must fold the head's input_proj conv+BN too (regression:
+    raw nn.Conv + nn.BatchNorm siblings stranded the running stats and
+    crashed fused predict)."""
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.nn.fuse import fuse_variables
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+
+    m = build_model("rtdetr-l.yaml", task="rtdetr", nc=3)
+    v = m.init(imgsz=64)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3), np.float32))
+    ref = m.predict(v, x)
+    fv, fm = fuse_variables(m, v)
+    got = fm.predict(fv, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)

@@ -266,12 +266,16 @@ class RTDETRDecoder(nn.Module):
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         B = feats[0].shape[0]
 
-        # per-level projection to hidden dim (conv 1x1 + BN)
+        # per-level projection to hidden dim (conv 1x1 + BN, no act) — uses
+        # the repo Conv module so deploy-time BN folding applies (nn/fuse.py;
+        # raw nn.Conv+nn.BatchNorm siblings would strand the running stats
+        # after fuse_variables and break fused predict)
+        from .conv import Conv as _Conv
+
         tokens = []
         for i, f in enumerate(feats):
-            p = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj{i}")(f)
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                             dtype=self.dtype, name=f"input_proj_bn{i}")(p)
+            p = _Conv(self.hd, 1, 1, act=False, dtype=self.dtype,
+                      name=f"input_proj{i}")(f, train)
             tokens.append(p.reshape(B, -1, self.hd))
         feats_flat = jnp.concatenate(tokens, axis=1)  # (B, V, hd)
 
