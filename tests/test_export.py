@@ -71,14 +71,12 @@ def test_saved_model_roundtrip_parity(tmp_path):
 
 
 def test_onnx_unsupported_head_message(tmp_path):
-    """Heads without a native ONNX emitter (rtdetr) raise pointing at the
+    """Heads without a native ONNX emitter raise pointing at the
     stablehlo/saved_model fallback route instead of a bare failure."""
-    from yolo_contour_regression_tpu.nn.fuse import fuse_variables
-    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from types import SimpleNamespace
+
     from yolo_contour_regression_tpu.onnx.export import export_onnx
 
-    model = build_model("rtdetr-l.yaml", task="rtdetr", nc=2)
-    variables = model.init(imgsz=64)
-    fvars, fmodel = fuse_variables(model, variables)
+    fake = SimpleNamespace(head_spec=SimpleNamespace(name="NotAHead"))
     with pytest.raises(NotImplementedError, match="stablehlo|saved_model"):
-        export_onnx(fmodel, fvars, str(tmp_path / "m.onnx"), imgsz=64)
+        export_onnx(fake, {"params": {}}, str(tmp_path / "m.onnx"), imgsz=64)

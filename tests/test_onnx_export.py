@@ -89,3 +89,30 @@ def test_exporter_facade_onnx(tmp_path):
     out = backend(x)
     a = sum((64 // s) ** 2 for s in m.model.strides)
     assert out.shape == (1, 4 + m.model.nc + 108, a)
+
+
+def test_onnx_rtdetr_parity(tmp_path):
+    """RT-DETR native export: HGNetV2 + AIFI + deformable decoder emitted in
+    opset-12 primitives; validated against model.predict through the numpy
+    executor (TopK/GatherElements are beyond OpenCV-DNN, so no cv2 leg —
+    consumers are onnxruntime or this executor)."""
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.nn.fuse import fuse_variables
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.onnx.export import export_onnx
+
+    imgsz = 64
+    model = build_model("rtdetr-l.yaml", task="rtdetr", nc=3)
+    variables = model.init(imgsz=imgsz)
+    fvars, fmodel = fuse_variables(model, variables)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, imgsz, imgsz, 3), np.float32)
+    ref = np.asarray(fmodel.predict(fvars, jnp.asarray(x)))  # (1, nq, 4+nc)
+
+    path = str(tmp_path / "rtdetr.onnx")
+    g, outs = export_onnx(fmodel, fvars, path, imgsz=imgsz)
+    assert len(outs) == 1 and outs[0][1] == list(ref.shape)
+    got = g.run({"images": x.transpose(0, 3, 1, 2).copy()})[outs[0][0]]
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-2)

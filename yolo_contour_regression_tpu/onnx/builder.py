@@ -275,8 +275,54 @@ def _clip(n, env):
     env[n.outputs[0]] = np.clip(x, lo, hi)
 
 
+def _topk(n, env):
+    x = env[n.inputs[0]]
+    k = int(env[n.inputs[1]].reshape(-1)[0])
+    axis = n.attrs.get("axis", -1)
+    # stable descending sort -> ties broken by lower index, matching lax.top_k
+    order = np.argsort(-np.moveaxis(x, axis, -1), axis=-1, kind="stable")[..., :k]
+    vals = np.take_along_axis(np.moveaxis(x, axis, -1), order, axis=-1)
+    env[n.outputs[0]] = np.moveaxis(vals, -1, axis)
+    env[n.outputs[1]] = np.moveaxis(order.astype(np.int64), -1, axis)
+
+
+def _gather(n, env):
+    x, idx = env[n.inputs[0]], env[n.inputs[1]].astype(np.int64)
+    env[n.outputs[0]] = np.take(x, idx, axis=n.attrs.get("axis", 0))
+
+
+def _gather_elements(n, env):
+    x, idx = env[n.inputs[0]], env[n.inputs[1]].astype(np.int64)
+    env[n.outputs[0]] = np.take_along_axis(x, idx, axis=n.attrs.get("axis", 0))
+
+
+def _erf(n, env):
+    from scipy.special import erf
+
+    env[n.outputs[0]] = erf(env[n.inputs[0]]).astype(np.float32)
+
+
 _OPS = {
     "Conv": _conv,
+    "TopK": _topk,
+    "Gather": _gather,
+    "GatherElements": _gather_elements,
+    "Expand": lambda n, e: e.__setitem__(
+        n.outputs[0],
+        np.broadcast_to(
+            e[n.inputs[0]],
+            np.broadcast_shapes(tuple(e[n.inputs[0]].shape),
+                                tuple(e[n.inputs[1]].astype(int).tolist())),
+        ).copy(),
+    ),
+    "Floor": lambda n, e: e.__setitem__(n.outputs[0], np.floor(e[n.inputs[0]])),
+    "Sqrt": lambda n, e: e.__setitem__(n.outputs[0], np.sqrt(e[n.inputs[0]])),
+    "Log": lambda n, e: e.__setitem__(n.outputs[0], np.log(e[n.inputs[0]])),
+    "Tanh": lambda n, e: e.__setitem__(n.outputs[0], np.tanh(e[n.inputs[0]])),
+    "Erf": _erf,
+    "Less": lambda n, e: e.__setitem__(n.outputs[0], e[n.inputs[0]] < e[n.inputs[1]]),
+    "Not": lambda n, e: e.__setitem__(n.outputs[0], ~e[n.inputs[0]]),
+    "And": lambda n, e: e.__setitem__(n.outputs[0], e[n.inputs[0]] & e[n.inputs[1]]),
     "MaxPool": _maxpool,
     "Resize": _resize,
     "Slice": _slice,

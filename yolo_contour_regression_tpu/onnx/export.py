@@ -62,16 +62,21 @@ def _act(g: GraphBuilder, x: str, act) -> str:
     raise NotImplementedError(f"activation {act!r} in ONNX export")
 
 
-def _conv(g, p, x, s: int = 1, group: int = 1, act="relu", d: int = 1) -> str:
+def _conv(g, p, x, s: int = 1, group: int = 1, act="relu", d: int = 1,
+          pads=None) -> str:
     """Fused Conv emitter: p = {'conv': {'kernel','bias'}} (post-fuse) or a
-    raw nn.Conv {'kernel','bias'}. k and padding inferred from the kernel."""
+    raw nn.Conv {'kernel','bias'}. k and padding inferred from the kernel
+    unless explicit [t, l, b, r] ``pads`` are given (HGStem's asymmetric
+    bottom/right pads)."""
     if "conv" in p:
         p = p["conv"]
     w = _w_oihw(p["kernel"])
     k = w.shape[2]
-    pad = (d * (k - 1) + 1 - 1) // 2 if d > 1 else (k - 1) // 2
+    if pads is None:
+        pad = (d * (k - 1) + 1 - 1) // 2 if d > 1 else (k - 1) // 2
+        pads = (pad, pad, pad, pad)
     b = _np(p["bias"]) if "bias" in p else None
-    y = g.conv(x, w, b, strides=(s, s), pads=(pad, pad, pad, pad), group=group,
+    y = g.conv(x, w, b, strides=(s, s), pads=pads, group=group,
                dilations=(d, d))
     return _act(g, y, act)
 
@@ -376,12 +381,19 @@ def _head_classify(g, p, x, model, imgsz):
     return [(g.sigmoid(y), [1, model.nc])]
 
 
+def _head_rtdetr(g, p, feats, model, imgsz):
+    from .rtdetr import emit_rtdetr_head
+
+    return emit_rtdetr_head(g, p, feats, model, imgsz)
+
+
 _HEAD_EMITTERS = {
     "Segment": _head_polar,
     "Detect": _head_detect,
     "Pose": _head_pose,
     "Segmentori": _head_segproto,
     "Classify": _head_classify,
+    "RTDETRDecoder": _head_rtdetr,
 }
 
 
@@ -397,7 +409,7 @@ def export_onnx(model, variables, path, imgsz: int = 640,
     if model.head_spec.name not in _HEAD_EMITTERS:
         raise NotImplementedError(
             f"ONNX export for head '{model.head_spec.name}' is not "
-            "implemented (rtdetr: use the stablehlo/saved_model formats)"
+            "implemented (use the stablehlo/saved_model formats)"
         )
     params = variables["params"]
     g = GraphBuilder(f"ycr_{model.task}")
@@ -447,6 +459,23 @@ def export_onnx(model, variables, path, imgsz: int = 640,
                 out = _c1(g, params[pname], x, kw)
             elif spec.name == "NASCSP":
                 out = _nascsp(g, params[pname], x, kw)
+            elif spec.name == "HGStem":
+                from .rtdetr import emit_hgstem
+
+                out = emit_hgstem(g, params[pname], x, _conv)
+            elif spec.name == "HGBlock":
+                from .rtdetr import emit_hgblock
+
+                out = emit_hgblock(g, params[pname], x, _conv, kw, c_in)
+            elif spec.name == "RepC3":
+                from .rtdetr import emit_repc3
+
+                out = emit_repc3(g, params[pname], x, _conv, kw)
+            elif spec.kind == "aifi":
+                from .rtdetr import emit_aifi
+
+                hw = imgsz // 32  # AIFI sits on the P5 map
+                out = emit_aifi(g, params[pname], x, _conv, hw, hw, c_in)
             elif spec.name == "SPPF":
                 out = _sppf(g, params[pname], x, kw)
             elif spec.name == "SPP":
