@@ -34,12 +34,14 @@ def bench(cache, yaml_path, imgsz=640, batches=8, batch=16, workers=2):
     return {"cache": str(cache), "imgs_per_sec": round(n / dt, 1), "imgsz": imgsz}
 
 
-def main(imgsz=640, n_imgs=64):
+def main(imgsz=640, n_imgs=64, src_imgsz=1280):
     from tests.helpers import make_shape_dataset
 
     out = ROOT / "runs"
     ds = out / "loader_bench_ds"
-    yaml_path = make_shape_dataset(ds, n_train=n_imgs, n_val=2, imgsz=imgsz, seed=0)
+    # source images LARGER than the train imgsz — the realistic case (COCO
+    # sources are ~1080p); exercises the cache-after-resize path
+    yaml_path = make_shape_dataset(ds, n_train=n_imgs, n_val=2, imgsz=src_imgsz, seed=0)
     rows = [bench(c, yaml_path, imgsz=imgsz) for c in (False, "ram", "disk")]
     rec = {"rows": rows, "host_cpus": __import__("os").cpu_count()}
     (out / "loader_bench.json").write_text(json.dumps(rec, indent=2))

@@ -83,13 +83,25 @@ class DataLoader:
         stop = threading.Event()
         lock = threading.Lock()
 
+        def qput(item) -> bool:
+            """put that never deadlocks an abandoned iterator: producers
+            blocked on a full queue would otherwise survive into interpreter
+            shutdown (C++ 'terminate called without an active exception')."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             while not stop.is_set():
                 with lock:
                     try:
                         chunk = next(batch_iter)
                     except StopIteration:
-                        q.put(None)
+                        qput(None)
                         return
                 try:
                     samples = [self.dataset[j] for j in chunk]
@@ -103,9 +115,10 @@ class DataLoader:
                         }
                     if not self.infinite:  # val: scalar, popped before jit
                         b["n_valid"] = np.int32(n)
-                    q.put(b)
+                    if not qput(b):
+                        return
                 except Exception as e:  # surface loader errors to consumer
-                    q.put(e)
+                    qput(e)
                     return
 
         threads = [threading.Thread(target=producer, daemon=True) for _ in range(self.workers)]
@@ -128,6 +141,13 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            try:  # unblock any producer sitting in q.put
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            for t in threads:
+                t.join(timeout=2.0)
 
 
 def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train"):

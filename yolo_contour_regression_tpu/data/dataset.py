@@ -196,31 +196,43 @@ class YOLODataset:
         """Disable mosaic/mixup for final epochs (reference trainer.py:304)."""
         self.mosaic_enabled = False
 
+    def _decode_resized(self, i: int) -> np.ndarray:
+        """Decode + pre-resize so the long side == imgsz (reference
+        data/base.py:158 load_image): every downstream consumer (mosaic,
+        letterbox) rescales to ~imgsz anyway, so caching the resized image
+        cuts both cached-epoch resize cost and RAM ~(orig/imgsz)^2-fold.
+        Labels are normalized, so geometry is unaffected."""
+        img = cv2.imread(self.im_files[i])
+        if img is None:
+            raise FileNotFoundError(self.im_files[i])
+        h, w = img.shape[:2]
+        r = self.imgsz / max(h, w)
+        if r != 1.0:
+            interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
+            img = cv2.resize(
+                img,
+                (min(int(round(w * r)), self.imgsz), min(int(round(h * r)), self.imgsz)),
+                interpolation=interp,
+            )
+        return img
+
     def _read_image(self, i: int) -> np.ndarray:
         if self.cache_images == "ram":
             img = self._ram[i]
             if img is None:
-                img = cv2.imread(self.im_files[i])
-                if img is None:
-                    raise FileNotFoundError(self.im_files[i])
-                self._ram[i] = img
+                img = self._ram[i] = self._decode_resized(i)
             return img
         if self.cache_images == "disk":
             f = self._disk_dir / (Path(self.im_files[i]).stem + f"_{i}.npy")
             if f.exists():
                 return np.load(f, mmap_mode="r")
-            img = cv2.imread(self.im_files[i])
-            if img is None:
-                raise FileNotFoundError(self.im_files[i])
+            img = self._decode_resized(i)
             try:
                 np.save(f, img)
             except OSError:
                 pass  # disk full: fall through, keep decoding
             return img
-        img = cv2.imread(self.im_files[i])
-        if img is None:
-            raise FileNotFoundError(self.im_files[i])
-        return img
+        return self._decode_resized(i)
 
     def load_raw(self, i: int) -> Sample:
         img = np.asarray(self._read_image(i))
