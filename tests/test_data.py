@@ -187,3 +187,39 @@ def test_pixel_augment_ops():
     # ToGray leaves channels equal when it is the last-applied color op
     g = pixel_augment(img.copy(), random.Random(1), p=1.0)
     assert g.shape == (32, 32, 3)
+
+
+def test_autosplit(tmp_path):
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.data.utils import autosplit
+
+    make_shape_dataset(tmp_path / "ds", n_train=20, n_val=2, imgsz=32, seed=0)
+    files = autosplit(tmp_path / "ds" / "images", weights=(0.8, 0.2, 0.0))
+    train = files[0].read_text().splitlines()
+    val = files[1].read_text().splitlines()
+    assert len(train) + len(val) == 22 and len(train) > len(val)
+    assert all(ln.startswith("./images/") for ln in train + val)
+    # annotated_only drops images without label files
+    (tmp_path / "ds" / "labels" / "train" / "0000.txt").unlink()
+    files2 = autosplit(tmp_path / "ds" / "images", weights=(1.0, 0.0, 0.0),
+                       annotated_only=True)
+    assert len(files2[0].read_text().splitlines()) == 21
+
+
+def test_hub_dataset_stats(tmp_path):
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.data.utils import HUBDatasetStats
+
+    yp = make_shape_dataset(tmp_path / "ds", n_train=6, n_val=3, imgsz=48, seed=0)
+    stats = HUBDatasetStats(str(yp), task="segment")
+    js = stats.get_json(save=True)
+    assert js["nc"] == 2 and js["test"] is None
+    assert js["train"]["image_stats"]["total"] == 6
+    assert js["val"]["image_stats"]["total"] == 3
+    assert js["train"]["instance_stats"]["total"] >= 6
+    row = js["train"]["labels"][0]
+    first = next(iter(row.values()))[0]
+    assert isinstance(first[0], int) and len(first) > 4  # cls + flattened segment
+    assert (stats.hub_dir / "stats.json").exists()
+    out = stats.process_images()
+    assert len(list(out.glob("*"))) == 9
