@@ -165,4 +165,9 @@ def entrypoint(argv=None):
     model_path = overrides.pop("model", None) or TASK2MODEL[task]
     model = YOLO(model_path, task=task)
     result = getattr(model, mode)(**overrides)
-    return result
+    if isinstance(result, dict):  # metrics: print, don't hand a truthy dict
+        print(result)             # to sys.exit (which would exit 1)
+    elif mode == "predict" and result is not None:
+        for r in result if isinstance(result, (list, tuple)) else [result]:
+            print(r)
+    return 0
