@@ -211,14 +211,44 @@ class YOLO:
 
         return benchmark(self, **kwargs)
 
-    def info(self):
+    def info(self, detailed: bool = False, imgsz: int = 640):
         n_params = self.model.num_params
         LOGGER.info(
             f"{type(self.model).__name__}: task={self.task}, "
             f"{len(self.model.specs)} layers, {n_params:,} params, "
             f"strides={self.model.strides}"
         )
-        return {"layers": len(self.model.specs), "parameters": n_params}
+        out = {"layers": len(self.model.specs), "parameters": n_params}
+        if detailed:
+            # per-layer table (reference torch_utils.py:172 model_info
+            # detailed=True): index, from, module, args, params, out channels
+            import numpy as np
+
+            self._ensure_variables(imgsz)
+            params = self.variables["params"]
+            rows = []
+            LOGGER.info(f"{'idx':>4} {'from':>10} {'params':>12}  module")
+            for spec in self.model.specs:
+                reps = spec.kwargs.get("_repeats", 1)
+                n_p = 0
+                for r in range(reps):
+                    pname = f"layer{spec.i}" + (f"_{r}" if reps > 1 else "")
+                    if pname in params:
+                        n_p += sum(
+                            int(np.prod(leaf.shape))
+                            for leaf in __import__("jax").tree_util.tree_leaves(params[pname])
+                        )
+                kwargs = {k: v for k, v in spec.kwargs.items() if not k.startswith("_")}
+                rows.append({
+                    "i": spec.i, "from": spec.f, "module": spec.name,
+                    "params": n_p, "c2": spec.c2, "kwargs": kwargs,
+                })
+                LOGGER.info(
+                    f"{spec.i:>4} {str(spec.f):>10} {n_p:>12,}  "
+                    f"{spec.name}({kwargs})"
+                )
+            out["layers_detail"] = rows
+        return out
 
     def fuse(self):
         """Structural reparameterization (RepConv/Conv2/Conv+BN) for deploy."""
