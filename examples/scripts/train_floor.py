@@ -82,6 +82,12 @@ def main(task="segment", epochs=150, imgsz=96, n_train=64, n_val=16, out=None):
     )
     if task != "classify":
         kw["close_mosaic"] = max(epochs // 4, 5)
+    else:
+        # the fork's classify loss is CE summed / 64 (loss.py:1107): at batch
+        # 16 the gradient is 4x smaller than mean-CE, so short floor runs
+        # need a hotter lr to move off the random-feature plateau
+        kw["lr0"] = 0.1
+        kw["warmup_epochs"] = 1.0
     metrics = m.train(**kw)
     final = m.val(data=data, task=task, imgsz=imgsz, batch=8, project=str(out))
     record = {
