@@ -66,13 +66,14 @@ def measure(batch: int) -> dict:
     def one_iter(variables, raw_u8, acc):
         x = raw_u8.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
         pred = model.predict(variables, x)
-        # pre_nms=512 candidate pre-select: mAP-neutral even at val
-        # conf=0.001 on the trained floor model (runs/floor/floor.json
-        # pre_nms_delta: 512 == 1024 == 4096), and the (k,k) suppression
-        # matrix shrinks 4x vs k=1024 (+8% pipeline throughput)
+        # pre_nms=300 == max_det: the smallest candidate pre-select that
+        # keeps full output capacity. mAP-neutral even at val conf=0.001 on
+        # the trained floor model (runs/floor/floor.json pre_nms_delta:
+        # 512==1024==4096, and measured identical down to 128); the (k,k)
+        # suppression matrix shrink is worth ~5% pipeline throughput vs 512
         out = non_max_suppression(
             pred.astype(jnp.float32), nc=model.nc, conf_thres=0.25,
-            iou_thres=0.7, pre_nms=512, max_det=300,
+            iou_thres=0.7, pre_nms=300, max_det=300,
         )
         return out["scores"].sum()
 

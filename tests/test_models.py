@@ -78,3 +78,49 @@ def test_nc_override():
     v = m.init(imgsz=64)
     pred = m.predict(v, jnp.zeros((1, 64, 64, 3)))
     assert pred.shape[1] == 4 + 3 + 108
+
+
+def test_extended_zoo_builds():
+    """v6 ConvTranspose neck + 4-level P2/P6 variants (reference
+    cfg/models/{v6/yolov6.yaml, v8/yolov8-p2.yaml, v8/yolov8-p6.yaml})."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.utils.loss import detection_loss
+    from types import SimpleNamespace
+
+    HYP = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    cases = (
+        ("yolov6n.yaml", 64, [8, 16, 32]),
+        ("yolov8n-p6.yaml", 128, [8, 16, 32, 64]),
+        ("yolov8n-p2.yaml", 64, [4, 8, 16, 32]),
+    )
+    for yaml_name, imgsz, want in cases:
+        m = build_model(yaml_name, task="detect", nc=2)
+        assert list(m.strides) == want
+        v = m.init(imgsz=imgsz)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((1, imgsz, imgsz, 3), np.float32)
+        )
+        pred = m.predict(v, x)
+        a = sum((imgsz // s) ** 2 for s in m.strides)
+        assert pred.shape == (1, 6, a) and bool(jnp.isfinite(pred).all())
+        # loss + grads flow through the extra pyramid levels
+        batch = {
+            "cls": jnp.zeros((1, 2), jnp.int32),
+            "bboxes": jnp.zeros((1, 2, 4)).at[0, 0].set(
+                jnp.asarray([0.5, 0.5, 0.4, 0.4])
+            ),
+            "mask_gt": jnp.zeros((1, 2), bool).at[0, 0].set(True),
+        }
+
+        def lf(p):
+            feats, _ = m.raw_forward({**v, "params": p}, x, train=True)
+            return detection_loss(feats, batch, m.strides, m.nc, HYP).total
+
+        l0, g = jax.value_and_grad(lf)(v["params"])
+        assert bool(jnp.isfinite(l0))
+        assert all(
+            bool(jnp.isfinite(t).all()) for t in jax.tree_util.tree_leaves(g)
+        )

@@ -221,11 +221,15 @@ class ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch ConvTranspose2d(k, s, p): out = (in-1)*s - 2p + k; flax's
+        # explicit padding counts differently, but "VALID" reproduces the
+        # p=0 torch case (out = in*s + max(k-s, 0)) used by the v6 neck
+        pad = "VALID" if self.p == 0 else [(self.p, self.p), (self.p, self.p)]
         x = nn.ConvTranspose(
             self.c2,
             (self.k, self.k),
             strides=(self.s, self.s),
-            padding=[(self.p, self.p), (self.p, self.p)],
+            padding=pad,
             use_bias=not self.bn,
             dtype=self.dtype,
             name="conv_transpose",

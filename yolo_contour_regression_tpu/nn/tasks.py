@@ -39,6 +39,9 @@ REGISTRY: Dict[str, Tuple[Any, Tuple[str, ...], str]] = {
     "Conv2": (conv_mod.Conv2, ("c2", "k", "s", "p", "g", "d", "act"), "conv"),
     "DWConv": (conv_mod.DWConv, ("c2", "k", "s", "d", "act"), "conv"),
     "ConvTranspose": (conv_mod.ConvTranspose, ("c2", "k", "s", "p", "bn", "act"), "conv"),
+    # reference yamls name the raw torch layer (v6 neck); bn=False matches
+    # nn.ConvTranspose2d (no norm, no act)
+    "nn.ConvTranspose2d": (conv_mod.ConvTranspose, ("c2", "k", "s", "p"), "conv"),
     "Focus": (conv_mod.Focus, ("c2", "k", "s", "p", "act"), "conv"),
     "GhostConv": (conv_mod.GhostConv, ("c2", "k", "s", "g", "act"), "conv"),
     "RepConv": (conv_mod.RepConv, ("c2", "k", "s", "g", "d", "act"), "conv"),
@@ -224,6 +227,9 @@ def _build_module(spec: LayerSpec, dtype, name: str):
         kwargs["dtype"] = dtype
     if spec.name == "Pose" and "kpt_shape" in kwargs:
         kwargs["kpt_shape"] = tuple(kwargs["kpt_shape"])
+    if spec.name == "nn.ConvTranspose2d":  # raw torch layer: no BN, no act
+        kwargs.setdefault("bn", False)
+        kwargs.setdefault("act", False)
     return cls(name=name, **kwargs)
 
 
