@@ -124,3 +124,25 @@ def test_extended_zoo_builds():
         assert all(
             bool(jnp.isfinite(t).all()) for t in jax.tree_util.tree_leaves(g)
         )
+
+
+def test_hybrid_and_pose_p6_builds():
+    """yolov8-rtdetr (C2f backbone + deformable head) and yolov8-pose-p6
+    (4-level pose) from the reference v8 zoo."""
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+
+    m = build_model("yolov8n-rtdetr.yaml", task="rtdetr", nc=3)
+    v = m.init(imgsz=64)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3), np.float32))
+    pred = m.predict(v, x)
+    assert pred.shape[-1] == 4 + 3 and bool(jnp.isfinite(pred).all())
+
+    m2 = build_model("yolov8n-pose-p6.yaml", task="pose")
+    assert list(m2.strides) == [8, 16, 32, 64] and m2.kpt_shape == (17, 3)
+    v2 = m2.init(imgsz=128)
+    x2 = jnp.asarray(np.random.default_rng(1).random((1, 128, 128, 3), np.float32))
+    p2 = m2.predict(v2, x2)
+    a = sum((128 // s) ** 2 for s in m2.strides)
+    assert p2.shape == (1, 4 + 1 + 51, a) and bool(jnp.isfinite(p2).all())
