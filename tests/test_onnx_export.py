@@ -116,3 +116,8 @@ def test_onnx_rtdetr_parity(tmp_path):
     assert len(outs) == 1 and outs[0][1] == list(ref.shape)
     got = g.run({"images": x.transpose(0, 3, 1, 2).copy()})[outs[0][0]]
     np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-2)
+
+
+def test_onnx_yolov6_parity(tmp_path):
+    """v6's ConvTranspose upsampling neck through the native exporter."""
+    _export_and_check("yolov6n.yaml", {"task": "detect", "nc": 2}, 64, tmp_path)

@@ -275,6 +275,28 @@ def _clip(n, env):
     env[n.outputs[0]] = np.clip(x, lo, hi)
 
 
+def _conv_transpose(n, env):
+    """ONNX ConvTranspose, weight (C_in, C_out/g, kH, kW), zero pads."""
+    x, w = env[n.inputs[0]], env[n.inputs[1]]
+    b = env[n.inputs[2]] if len(n.inputs) > 2 else None
+    sh, sw = n.attrs.get("strides", [1, 1])
+    p = n.attrs.get("pads", [0, 0, 0, 0])
+    B, C, H, W = x.shape
+    _, O, kh, kw = w.shape
+    oh = (H - 1) * sh + kh - p[0] - p[2]
+    ow = (W - 1) * sw + kw - p[1] - p[3]
+    full = np.zeros((B, O, (H - 1) * sh + kh, (W - 1) * sw + kw), np.float32)
+    for di in range(kh):
+        for dj in range(kw):
+            # (B, O, H, W) contribution of kernel tap (di, dj)
+            contrib = np.einsum("bchw,co->bohw", x, w[:, :, di, dj])
+            full[:, :, di : di + H * sh : sh, dj : dj + W * sw : sw] += contrib
+    y = full[:, :, p[0] : p[0] + oh, p[1] : p[1] + ow]
+    if b is not None:
+        y = y + b.reshape(1, -1, 1, 1)
+    env[n.outputs[0]] = y
+
+
 def _topk(n, env):
     x = env[n.inputs[0]]
     k = int(env[n.inputs[1]].reshape(-1)[0])
@@ -304,6 +326,7 @@ def _erf(n, env):
 
 _OPS = {
     "Conv": _conv,
+    "ConvTranspose": _conv_transpose,
     "TopK": _topk,
     "Gather": _gather,
     "GatherElements": _gather_elements,

@@ -444,6 +444,24 @@ def export_onnx(model, variables, path, imgsz: int = 640,
                             d=kw.get("d", 1))
             elif spec.name == "DWConv":
                 out = _dwconv(g, params[pname], x, kw, c_in)
+            elif spec.name in ("ConvTranspose", "nn.ConvTranspose2d"):
+                if "bn" in params[pname]:
+                    raise NotImplementedError(
+                        "ONNX emitter covers bias-only ConvTranspose "
+                        "(the v6 neck); BN-variant folding not implemented"
+                    )
+                ct = params[pname]["conv_transpose"]
+                w = _np(ct["kernel"]).transpose(2, 3, 0, 1).copy()  # HWIO->IOHW
+                pp = kw.get("p", 0)
+                yt = g.node(
+                    "ConvTranspose",
+                    [x, g.init(w, "WT")]
+                    + ([g.init(_np(ct["bias"]), "BT")] if "bias" in ct else []),
+                    {"kernel_shape": [w.shape[2], w.shape[3]],
+                     "strides": [kw.get("s", 2)] * 2, "pads": [pp] * 4},
+                )
+                act = kw.get("act", False if spec.name.startswith("nn.") else True)
+                out = _act(g, yt, act)
             elif spec.name == "RepBlock":
                 out = _conv(g, params[pname]["cv1"], x)
             elif spec.name == "Bottleneck":
