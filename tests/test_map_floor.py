@@ -91,3 +91,29 @@ def test_committed_pose_floor(tmp_path):
 @pytest.mark.slow
 def test_committed_classify_floor(tmp_path):
     _floor_case("classify", "classify", "make_cls_dataset", tmp_path)
+
+
+@pytest.mark.slow
+def test_committed_seg160_floor(tmp_path):
+    """Reference-CI-protocol floor: segment at imgsz 160 (the imgsz the
+    reference benchmark job uses, ci.yaml:126-137; bar there: seg >= 0.30)."""
+    import tests.helpers as helpers
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    fdir = ROOT / "runs" / "floor_seg160"
+    ckpt, record_p = fdir / "best.ckpt", fdir / "floor.json"
+    if not (ckpt.exists() and record_p.exists()):
+        pytest.skip("floor_seg160 artifacts missing")
+    record = json.loads(record_p.read_text())
+    cfg = record["config"]
+    yp = helpers.make_shape_dataset(
+        tmp_path / "ds", n_train=cfg["n_train"], n_val=cfg["n_val"],
+        imgsz=cfg["imgsz"], seed=cfg["seed"],
+    )
+    m = YOLO(str(ckpt))
+    res = m.val(data=str(yp), imgsz=cfg["imgsz"], batch=4,
+                project=str(tmp_path / "runs"))
+    for key, name in record["floor_keys"].items():
+        assert res[key] >= record["floor"][name]
+    # the reference CI bar itself
+    assert res["metrics/mAP50-95(M)"] >= 0.30
