@@ -218,3 +218,39 @@ def test_hub_api_surface(tmp_path, monkeypatch):
     z = zip_directory(tmp_path / "ds")
     stats = hub_api.check_dataset(str(z), task="segment")
     assert stats["nc"] == 2
+
+
+def test_results_api_compat():
+    """Reference Results API surface: verbose/tojson/getitem/update/device
+    no-ops (reference results.py:106-345)."""
+    import json as _json
+
+    import numpy as np
+
+    from yolo_contour_regression_tpu.engine.results import Results
+
+    img = np.zeros((80, 100, 3), np.uint8)
+    boxes = np.array([
+        [10, 10, 40, 40, 0.9, 0],
+        [50, 20, 90, 60, 0.8, 1],
+        [12, 14, 42, 44, 0.7, 0],
+    ], np.float32)
+    res = Results(img, "x.jpg", {0: "cat", 1: "dog"}, boxes=boxes)
+    assert res.cpu() is res and res.numpy() is res and res.to("tpu") is res
+    assert res.keys == ["boxes"]
+    assert res.verbose() == "2 cats, 1 dog, "
+
+    one = res[1]
+    assert len(one) == 1 and int(one.boxes.cls[0]) == 1
+
+    rows = _json.loads(res.tojson())
+    assert [r["name"] for r in rows] == ["cat", "dog", "cat"]
+    assert rows[0]["box"] == {"x1": 10.0, "y1": 10.0, "x2": 40.0, "y2": 40.0}
+    norm = _json.loads(res.tojson(normalize=True))
+    assert norm[0]["box"]["x2"] == 0.4  # 40 / w=100
+
+    res.update(boxes=boxes[:1])
+    assert len(res) == 1
+
+    empty = res.new()
+    assert len(empty) == 0 and empty.verbose() == "(no detections), "

@@ -146,6 +146,107 @@ class Results:
                 return len(v)
         return 0
 
+    # -- torch-API compatibility (reference results.py:128-161): arrays are
+    # already host numpy, so device moves are identity -------------------------
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
+    def new(self):
+        """Empty copy carrying image/path/names (reference results.py:156)."""
+        return Results(self.orig_img, self.path, self.names)
+
+    @property
+    def keys(self):
+        return [
+            k for k in ("boxes", "masks", "contours", "probs", "keypoints")
+            if getattr(self, k) is not None
+        ]
+
+    def __getitem__(self, idx):
+        """Index detections (reference results.py:106)."""
+        r = self.new()
+        if self.boxes is not None:
+            r.boxes = Boxes(np.atleast_2d(self.boxes.data[idx]), self.orig_shape)
+        if self.masks is not None:
+            r.masks = Masks(np.atleast_3d(self.masks.data[idx]), self.orig_shape)
+        if self.contours is not None:
+            r.contours = Contours(
+                np.atleast_3d(self.contours.points[idx]),
+                np.atleast_2d(self.contours.valid[idx]), self.orig_shape,
+            )
+        if self.keypoints is not None:
+            r.keypoints = self.keypoints[idx]
+        return r
+
+    def update(self, boxes=None, masks=None, probs=None):
+        """(reference results.py:118)."""
+        if boxes is not None:
+            self.boxes = Boxes(boxes, self.orig_shape)
+        if masks is not None:
+            self.masks = Masks(masks, self.orig_shape)
+        if probs is not None:
+            self.probs = Probs(probs)
+
+    def verbose(self) -> str:
+        """'4 persons, 1 dog, ' summary line (reference results.py:273)."""
+        if self.probs is not None:
+            return f"{self.names.get(self.probs.top1, self.probs.top1)} " \
+                   f"{self.probs.top1conf:.2f}, "
+        if self.boxes is None or len(self.boxes) == 0:
+            return "(no detections), "
+        cls = self.boxes.cls.astype(int)
+        parts = []
+        for c in sorted(set(cls.tolist())):
+            n = int((cls == c).sum())
+            name = self.names.get(c, str(c))
+            parts.append(f"{n} {name}{'s' * (n > 1)}")
+        return ", ".join(parts) + ", "
+
+    def tojson(self, normalize: bool = False) -> str:
+        """JSON rows with name/class/confidence/box (+segments/keypoints)
+        (reference results.py:345)."""
+        import json
+
+        h, w = self.orig_shape
+        sx, sy = (w, h) if normalize else (1, 1)
+        rows = []
+        if self.probs is not None:
+            rows.append({
+                "name": self.names.get(self.probs.top1, str(self.probs.top1)),
+                "class": int(self.probs.top1),
+                "confidence": round(self.probs.top1conf, 5),
+            })
+        elif self.boxes is not None:
+            for i, row in enumerate(self.boxes.data):
+                x1, y1, x2, y2 = (float(v) for v in row[:4])
+                item = {
+                    "name": self.names.get(int(row[5]), str(int(row[5]))),
+                    "class": int(row[5]),
+                    "confidence": round(float(row[4]), 5),
+                    "box": {"x1": round(x1 / sx, 5), "y1": round(y1 / sy, 5),
+                            "x2": round(x2 / sx, 5), "y2": round(y2 / sy, 5)},
+                }
+                if self.contours is not None and i < len(self.contours):
+                    pts = self.contours.xy[i]
+                    item["segments"] = {
+                        "x": [round(float(x) / sx, 5) for x in pts[:, 0]],
+                        "y": [round(float(y) / sy, 5) for y in pts[:, 1]],
+                    }
+                if self.keypoints is not None:
+                    k = np.asarray(self.keypoints[i], np.float64)
+                    item["keypoints"] = {
+                        "x": [round(float(x) / sx, 5) for x in k[:, 0]],
+                        "y": [round(float(y) / sy, 5) for y in k[:, 1]],
+                    }
+                rows.append(item)
+        return json.dumps(rows, indent=2)
+
     def plot(self, line_width: Optional[int] = None, labels: bool = True, conf: bool = True):
         """Draw boxes/contours onto a copy of the original image."""
         import cv2
