@@ -99,6 +99,7 @@ class YOLO:
         model = str(model)
         self.ckpt = None
         self.overrides: Dict[str, Any] = {}
+        self._callbacks: Dict[str, list] = {}
         if model.endswith((".yaml", ".yml")):
             self._new(model, task)
         else:
@@ -156,6 +157,9 @@ class YOLO:
         overrides = {**self.overrides, **kwargs, "mode": "train"}
         trainer_cls = TASK_MAP[self.task]["trainer"]
         self.trainer = trainer_cls(overrides=overrides)
+        for event, fns in self._callbacks.items():  # user add_callback hooks
+            for fn in fns:
+                self.trainer.callbacks.setdefault(event, []).append(fn)
         metrics = self.trainer.train()
         # adopt trained weights
         best = self.trainer.wdir / "best.ckpt"
@@ -257,3 +261,52 @@ class YOLO:
         self._ensure_variables()
         self.variables, self.model = fuse_variables(self.model, self.variables)
         return self
+
+    # -- reference-facade compatibility (reference engine/model.py) -----------
+    def load(self, weights: str):
+        """Load weights into the current architecture (reference :178)."""
+        self._load(str(weights), self.task)
+        return self
+
+    def reset_weights(self):
+        """Re-initialize all parameters (reference :165)."""
+        self.variables = self.model.init(imgsz=640)
+        return self
+
+    def to(self, device=None):
+        """Device moves are managed by JAX shardings; identity (reference
+        :384 moves the torch module)."""
+        return self
+
+    @property
+    def device(self):
+        import jax
+
+        return jax.devices()[0]
+
+    def tune(self, data: str, iterations: int = 10, epochs: int = 10, **kwargs):
+        """Hyperparameter search (reference :394): Ray Tune when installed,
+        else the evolutionary Tuner (utils/tuner.py)."""
+        try:
+            import ray  # noqa: F401
+
+            from ..utils.tuner import run_ray_tune
+
+            return run_ray_tune(self, max_samples=iterations, data=data,
+                                epochs=epochs, **kwargs)
+        except ImportError:
+            from ..utils.tuner import Tuner
+
+            return Tuner(self.overrides.get("model", "yolov8n-seg.yaml"))(
+                data, iterations=iterations, epochs=epochs, **kwargs
+            )
+
+    def add_callback(self, event: str, func):
+        """(reference :423) — callbacks attach to the next trainer built."""
+        self._callbacks.setdefault(event, []).append(func)
+
+    def clear_callback(self, event: str):
+        self._callbacks.pop(event, None)
+
+    def reset_callbacks(self):
+        self._callbacks = {}
