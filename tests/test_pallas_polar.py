@@ -44,3 +44,34 @@ def test_gt_rays_pallas_padding():
     # random angular spacing can legitimately leave >3-deg gaps (invisible
     # rays), so parity with the reference is the correct check
     np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_gt_rays_pallas2_interpret_parity():
+    """v2 (batched-sweep) kernel matches the jnp reference and v1 exactly."""
+    import math
+
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.ops.pallas_polar import (
+        gt_rays_pallas,
+        gt_rays_pallas2,
+    )
+    from yolo_contour_regression_tpu.ops.polar import gt_rays_from_contour
+
+    rng = np.random.default_rng(3)
+    P = 21  # non-multiple of the block size: exercises padding
+    t = np.linspace(0, 2 * math.pi, 360, endpoint=False)
+    a = rng.uniform(10, 60, (P, 1))
+    b = rng.uniform(10, 60, (P, 1))
+    cx = rng.uniform(80, 200, (P, 1))
+    cy = rng.uniform(80, 200, (P, 1))
+    contours = np.stack(
+        [cx + a * np.cos(t)[None], cy + b * np.sin(t)[None]], -1
+    ).astype(np.float32)
+    centers = rng.uniform(0, 256, (P, 2)).astype(np.float32)
+
+    ref = np.asarray(gt_rays_from_contour(jnp.asarray(contours), jnp.asarray(centers)))
+    v1 = np.asarray(gt_rays_pallas(jnp.asarray(contours), jnp.asarray(centers), interpret=True))
+    v2 = np.asarray(gt_rays_pallas2(jnp.asarray(contours), jnp.asarray(centers), interpret=True))
+    np.testing.assert_allclose(v2, v1, atol=1e-5)
+    np.testing.assert_allclose(v2, ref, atol=1e-2, rtol=1e-3)  # poly-atan2 tol

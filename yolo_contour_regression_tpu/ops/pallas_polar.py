@@ -125,7 +125,92 @@ def gt_rays_pallas(contour: jnp.ndarray, center: jnp.ndarray, interpret: bool = 
 def gt_rays_fast(contour, center, chunk: int = 4096):
     """Dispatch: Pallas kernel on TPU, chunked jnp reference elsewhere."""
     if jax.default_backend() == "tpu":
-        return gt_rays_pallas(contour, center)
+        return gt_rays_pallas2(contour, center)
     from .polar import gt_rays_from_contour
 
     return gt_rays_from_contour(contour, center, chunk=chunk)
+
+
+# --- v2: all pairs of a block swept as ONE (8*36, 360) matrix ----------------
+# The v1 kernel unrolls 8 pairs x ANGLE_TOPK sweeps as ~200 small (36, 360)
+# VPU ops per program; dispatch overhead dominates (measured 77 ms for the
+# batch-16 train step's 98k pairs). v2 stacks the 8 pairs' (36, 360) working
+# sets into one (288, 360) matrix in VMEM scratch, so each sweep is 1 big op:
+# same numerics, ~3x faster end-to-end.
+
+PAIRS_PER_PROG2 = 8  # block size: 8 measured faster than 16 (31.6 vs 33.0 ms)
+_ROWS2 = PAIRS_PER_PROG2 * NUM_RAYS  # 288
+
+
+def _gt_rays_kernel2(cx_ref, cy_ref, ctr_ref, out_ref, diff_ref, dist_ref):
+    theta_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (_ROWS2, NUM_CONTOUR_POINTS), 0)
+        % NUM_RAYS
+    ).astype(jnp.float32) * RAY_STEP_DEG
+
+    for j in range(PAIRS_PER_PROG2):  # cheap fill: stores of (36, 360)
+        vx = cx_ref[j : j + 1, :] - ctr_ref[j, 0]  # (1, 360)
+        vy = cy_ref[j : j + 1, :] - ctr_ref[j, 1]
+        ang = _atan2(vy, vx) * (180.0 / math.pi)
+        ang = jnp.where(ang < 0, ang + 360.0, ang)
+        d = jnp.sqrt(vx * vx + vy * vy)
+        lo = j * NUM_RAYS
+        diff_ref[lo : lo + NUM_RAYS, :] = jnp.broadcast_to(
+            ang, (NUM_RAYS, NUM_CONTOUR_POINTS)
+        )
+        dist_ref[lo : lo + NUM_RAYS, :] = jnp.broadcast_to(
+            d, (NUM_RAYS, NUM_CONTOUR_POINTS)
+        )
+
+    diff = jnp.abs(diff_ref[...] - theta_row)
+    diff = jnp.where(diff > 180.0, 360.0 - diff, diff)
+    dist_b = dist_ref[...]
+
+    def sweep(k, carry):
+        diff_m, best_dist, min_gap = carry
+        mn = diff_m.min(axis=-1, keepdims=True)  # (288, 1)
+        sel = diff_m <= mn
+        best_dist = jnp.maximum(
+            best_dist, jnp.where(sel, dist_b, -_INF).max(-1, keepdims=True)
+        )
+        min_gap = jnp.where(k == 0, mn, min_gap)
+        diff_m = jnp.where(sel, _INF, diff_m)
+        return diff_m, best_dist, min_gap
+
+    init = (
+        diff,
+        jnp.full((_ROWS2, 1), -_INF, jnp.float32),
+        jnp.zeros((_ROWS2, 1), jnp.float32),
+    )
+    _, best_dist, min_gap = jax.lax.fori_loop(0, ANGLE_TOPK, sweep, init)
+    rays = jnp.where(min_gap > ANGLE_GAP_DEG, RAY_EPS, best_dist)  # (288, 1)
+    out_ref[...] = jnp.clip(rays, RAY_EPS, None)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gt_rays_pallas2(contour: jnp.ndarray, center: jnp.ndarray, interpret: bool = False):
+    """(P, 360, 2), (P, 2) -> (P, 36). Same contract as gt_rays_pallas."""
+    P = contour.shape[0]
+    pad = (-P) % PAIRS_PER_PROG2
+    contour_p = jnp.pad(contour.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
+    center_p = jnp.pad(center.astype(jnp.float32), ((0, pad), (0, 0)))
+    cx = contour_p[..., 0]
+    cy = contour_p[..., 1]
+    Pp = P + pad
+    out = pl.pallas_call(
+        _gt_rays_kernel2,
+        out_shape=jax.ShapeDtypeStruct((Pp * NUM_RAYS, 1), jnp.float32),
+        grid=(Pp // PAIRS_PER_PROG2,),
+        in_specs=[
+            pl.BlockSpec((PAIRS_PER_PROG2, NUM_CONTOUR_POINTS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAIRS_PER_PROG2, NUM_CONTOUR_POINTS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAIRS_PER_PROG2, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS2, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS2, NUM_CONTOUR_POINTS), jnp.float32),
+            pltpu.VMEM((_ROWS2, NUM_CONTOUR_POINTS), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cx, cy, center_p)
+    return out.reshape(Pp, NUM_RAYS)[:P]
