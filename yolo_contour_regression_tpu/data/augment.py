@@ -336,8 +336,32 @@ def format_sample(s: Sample, max_instances: int) -> Dict[str, np.ndarray]:
     return out
 
 
-def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+INSTANCE_BUCKETS = (8, 16, 32)
+
+
+def collate(samples: List[Dict[str, np.ndarray]], bucket_instances: bool = True) -> Dict[str, np.ndarray]:
+    """Stack per-image dicts; trim the padded instance axis to the smallest
+    bucket holding the batch's max instance count (8/16/32/max_instances).
+
+    The polar assigner's cost is shape-driven — B x N_pad x cand GT-ray
+    pairs — so padding every batch to max_instances (48) made every train
+    step pay the worst case. Bucketing keeps shapes static per bucket (at
+    most 4 jit variants, each compiled once) while typical batches (<8
+    objects/img) run ~6x less assigner work."""
+    out = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    if bucket_instances and "mask_gt" in out:
+        n_pad = out["mask_gt"].shape[1]
+        n_act = int(out["mask_gt"].sum(axis=1).max()) if out["mask_gt"].size else 0
+        cap = n_pad
+        for b in INSTANCE_BUCKETS:
+            if n_act <= b < n_pad:
+                cap = b
+                break
+        if cap < n_pad:
+            for k in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
+                if k in out and out[k].ndim >= 2 and out[k].shape[1] == n_pad:
+                    out[k] = out[k][:, :cap]
+    return out
 
 
 def mosaic9(samples: List[Sample], imgsz: int, rng: random.Random) -> Sample:

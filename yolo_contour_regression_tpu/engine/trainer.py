@@ -215,6 +215,21 @@ class BaseTrainer:
             for i in range(steps_per_epoch):
                 if accumulate > 1:
                     micro = [next(data_iter) for _ in range(accumulate)]
+                    # instance-axis buckets can differ across micro-batches
+                    # (data/augment.py collate); re-pad to the max bucket
+                    if "mask_gt" in micro[0]:
+                        n_max = max(m["mask_gt"].shape[1] for m in micro)
+                        for m in micro:
+                            pad = n_max - m["mask_gt"].shape[1]
+                            if pad:
+                                for k in ("cls", "bboxes", "segments",
+                                          "mask_gt", "keypoints"):
+                                    if k in m:
+                                        m[k] = np.pad(
+                                            m[k],
+                                            [(0, 0), (0, pad)]
+                                            + [(0, 0)] * (m[k].ndim - 2),
+                                        )
                     batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
                     images = batch.pop("img")
                     pbatch = dict(micro[0])
