@@ -1,0 +1,103 @@
+"""Training-step benchmark: polar-seg vs detect fused train step at 640px.
+
+The fork's README claims polar-seg training costs 1-2x detect training
+(reference /root/reference README, 缺点 1). This records the measured ratio
+for the TPU rebuild at the typical instance bucket (8 objects/img — see
+data/augment.py:collate bucketing) and at the 48-slot worst case.
+Writes runs/train_bench.json.
+
+Timing: in-graph fori_loop with a carried data dependency (same methodology
+as bench.py — block_until_ready cannot be trusted on tunneled-TPU hosts).
+"""
+import json
+import math
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+
+def measure(task: str, nmax: int, imgsz: int = 640, B: int = 16) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.utils.loss import detection_loss, segmentation_loss
+
+    HYP = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    yaml_name = "yolov8-seg.yaml" if task == "segment" else "yolov8.yaml"
+    m = build_model(
+        str(ROOT / "yolo_contour_regression_tpu/cfg/models" / yaml_name),
+        nc=10, dtype=jnp.bfloat16,
+    )
+    v = m.init(imgsz=imgsz)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (B, imgsz, imgsz, 3)).astype(np.float32))
+    t = np.linspace(0, 2 * math.pi, 360, endpoint=False)
+    contour = np.stack([0.5 + 0.2 * np.cos(t), 0.5 + 0.2 * np.sin(t)], -1)
+    batch = {
+        "cls": jnp.ones((B, nmax), jnp.int32),
+        "bboxes": jnp.tile(jnp.asarray([0.5, 0.5, 0.4, 0.4]), (B, nmax, 1)),
+        "mask_gt": jnp.ones((B, nmax), bool),
+    }
+    if task == "segment":
+        batch["segments"] = jnp.tile(jnp.asarray(contour, jnp.float32), (B, nmax, 1, 1))
+
+    def loss_fn(p, key):
+        feats, _ = m.raw_forward({**v, "params": p}, img + key * 1e-12, train=True)
+        if task == "segment":
+            return segmentation_loss(feats, batch, m.strides, m.nc, HYP).total
+        return detection_loss(feats, batch, m.strides, m.nc, HYP).total
+
+    g = jax.jit(jax.grad(loss_fn))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def loop(p, n):
+        def body(i, acc):
+            gr = g(p, acc)
+            return acc + jax.tree_util.tree_leaves(gr)[0].astype(jnp.float32).sum() * 1e-20
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    float(loop(v["params"], 2))
+    float(loop(v["params"], 10))
+
+    def timed(n):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(v["params"], n))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    per = (timed(10) - timed(2)) / 8
+    return {"task": task, "nmax": nmax, "ms_per_step": round(per * 1e3, 1),
+            "imgs_per_sec": round(B / per, 0), "batch": B, "imgsz": imgsz}
+
+
+def main():
+    rows = [
+        measure("detect", 8),
+        measure("segment", 8),
+        measure("segment", 48),
+    ]
+    det = rows[0]["ms_per_step"]
+    rec = {
+        "rows": rows,
+        "seg_over_detect_typical": round(rows[1]["ms_per_step"] / det, 2),
+        "seg_over_detect_worst48": round(rows[2]["ms_per_step"] / det, 2),
+        "note": "fused fwd+assign+loss+grad step; fork claim: seg trains at 1-2x detect",
+    }
+    out = ROOT / "runs" / "train_bench.json"
+    out.write_text(json.dumps(rec, indent=2))
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
