@@ -23,8 +23,11 @@ def test_train_val_predict_segment(ds_yaml, tmp_path):
         data=str(ds_yaml), epochs=2, imgsz=64, batch=4, workers=2,
         project=str(tmp_path / "runs"), warmup_epochs=0.0, val=True,
         max_instances=8, cand_per_gt=32, patience=10, close_mosaic=0,
+        plots=True,
     )
     assert "metrics/mAP50-95(M)" in metrics
+    # pre-train label-distribution plot (reference trainer plot_training_labels)
+    assert (m.trainer.save_dir / "labels.png").exists()
     # checkpoints written
     wdir = m.trainer.wdir
     assert (wdir / "last.ckpt").exists() and (wdir / "best.ckpt").exists()

@@ -254,3 +254,43 @@ def test_results_api_compat():
 
     empty = res.new()
     assert len(empty) == 0 and empty.verbose() == "(no detections), "
+
+def test_results_getitem_int_keeps_instance_dim():
+    """Integer indexing keeps the leading instance axis for masks/contours/
+    keypoints (reference keeps (1, ...) shapes; np.atleast_3d would append
+    the new axis LAST — the ADVICE r2 finding)."""
+    import numpy as np
+
+    from yolo_contour_regression_tpu.engine.results import Results
+
+    h, w, n = 48, 64, 3
+    img = np.zeros((h, w, 3), np.uint8)
+    boxes = np.array([[1, 1, 10, 10, 0.9, 0],
+                      [2, 2, 20, 20, 0.8, 1],
+                      [3, 3, 30, 30, 0.7, 0]], np.float32)
+    masks = np.zeros((n, h, w), np.uint8)
+    masks[:, :8, :8] = 1
+    pts = np.random.RandomState(0).rand(n, 36, 2).astype(np.float32) * 16
+    valid = np.ones((n, 36), bool)
+    kpts = np.random.RandomState(1).rand(n, 17, 3).astype(np.float32)
+    res = Results(img, "x.jpg", {0: "a", 1: "b"}, boxes=boxes, masks=masks,
+                  contours=(pts, valid), keypoints=kpts)
+
+    one = res[1]
+    assert one.boxes.data.shape == (1, 6)
+    assert one.masks.data.shape == (1, h, w)
+    assert len(one.masks) == 1
+    assert one.contours.points.shape == (1, 36, 2)
+    assert one.contours.valid.shape == (1, 36)
+    assert len(one.contours.xy) == 1
+    assert one.keypoints.shape == (1, 17, 3)
+    assert np.allclose(one.contours.points[0], pts[1])
+
+    # slice indexing unchanged
+    two = res[:2]
+    assert two.masks.data.shape == (2, h, w)
+    assert two.keypoints.shape == (2, 17, 3)
+    # negative int also keeps the axis
+    last = res[-1]
+    assert last.masks.data.shape == (1, h, w)
+    assert np.allclose(last.boxes.data[0], boxes[2])

@@ -146,3 +146,20 @@ def test_hybrid_and_pose_p6_builds():
     p2 = m2.predict(v2, x2)
     a = sum((128 // s) ** 2 for s in m2.strides)
     assert p2.shape == (1, 4 + 1 + 51, a) and bool(jnp.isfinite(p2).all())
+
+def test_predict_visualize_feature_maps(tmp_path):
+    """predict(visualize=True) dumps per-layer feature grids (reference
+    predictor.py visualize -> plotting.py:573 feature_visualization)."""
+    import numpy as np
+
+    from yolo_contour_regression_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    img = np.full((80, 80, 3), 128, np.uint8)
+    res = m.predict(img, imgsz=64, visualize=True, project=str(tmp_path))
+    assert len(res) == 1
+    vdir = tmp_path / "predict" / "features"
+    pngs = list(vdir.rglob("features_*.png"))
+    assert pngs, f"no feature grids written under {vdir}"
+    # one grid per non-head layer
+    assert len(pngs) >= 5

@@ -60,3 +60,35 @@ def test_botsort_with_frames():
     for t in range(6):
         out = tk.update(moving_box(t), np.array([0.9]), np.array([0]), frame=frame)
     assert out.shape[0] == 1
+
+def test_gmc_methods_recover_translation():
+    """Every GMC estimator recovers a synthetic camera shift (reference
+    trackers/utils/gmc.py orb/sift/ecc/sparseOptFlow selector)."""
+    import cv2
+    import numpy as np
+
+    from yolo_contour_regression_tpu.trackers.bot_sort import GMC
+
+    rng = np.random.RandomState(7)
+    base = (rng.rand(240, 320) * 255).astype(np.uint8)
+    base = cv2.GaussianBlur(base, (0, 0), 3)  # smooth texture -> trackable
+    base = cv2.normalize(base, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+    dx, dy = 6.0, -4.0
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    shifted = cv2.warpAffine(base, M, (320, 240))
+
+    for method in ("sparseOptFlow", "orb", "sift", "ecc"):
+        g = GMC(method=method, downscale=1)
+        first = g.apply(base)
+        assert np.allclose(first, np.eye(2, 3), atol=1e-5)  # no prior frame
+        H = g.apply(shifted)
+        # interior crop avoids border effects; tolerate ~1px estimator noise
+        assert abs(H[0, 2] - dx) < 1.5 and abs(H[1, 2] - dy) < 1.5, (method, H)
+
+    g = GMC(method="none")
+    assert np.allclose(g.apply(base), np.eye(2, 3))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        GMC(method="bogus")

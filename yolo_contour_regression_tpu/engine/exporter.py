@@ -162,6 +162,9 @@ class Exporter:
                     metadata={k: json.dumps(v, default=str)
                               for k, v in metadata.items()},
                 )
+                # native emitter takes NCHW input (AutoBackend keys its
+                # transpose on the 'NCHW' substring)
+                metadata["layout"] = "NCHW, RGB, float32 in [0,1]"
             except NotImplementedError:
                 # rtdetr & friends: fall back to the tf2onnx route when the
                 # packages exist, else point at the documented offline recipe:
@@ -195,7 +198,9 @@ class Exporter:
                     opset=int(getattr(self.args, "opset", None) or 12),
                     output_path=str(path),
                 )
-            metadata["layout"] = "NCHW, RGB, float32 in [0,1]"
+                # jax2tf path traces the NHWC infer fn — the graph really
+                # wants (B, H, W, 3), unlike the native NCHW emitter above
+                metadata["layout"] = "NHWC, RGB, float32 in [0,1]"
 
         with open(out_dir / f"{name}.metadata.json", "w") as fh:
             json.dump(metadata, fh, indent=2, default=str)

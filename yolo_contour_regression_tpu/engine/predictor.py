@@ -156,6 +156,17 @@ class BasePredictor:
         gen = self._stream(model, variables, source, names or getattr(model, "names", {}))
         return gen if stream else list(gen)
 
+    def _visualize_features(self, model, variables, x, path):
+        """Dump per-layer feature-map grids (reference predictor
+        visualize=True -> plotting.py:573 feature_visualization)."""
+        from ..utils.plotting import feature_visualization
+
+        stem = Path(path).stem if isinstance(path, str) else "frame"
+        vdir = Path(self.args.project or "runs") / "predict" / "features" / stem
+        feats = model.forward_features(variables, jnp.asarray(x)[None])
+        for name, fm in feats.items():
+            feature_visualization(np.asarray(fm, np.float32), name, save_dir=vdir)
+
     def _stream(self, model, variables, source, names):
         if self._eval_fn is None:
             self._eval_fn = self._build_eval(model)
@@ -166,6 +177,8 @@ class BasePredictor:
             t1 = time.perf_counter()
             out = self._eval_fn(variables, jnp.asarray(x)[None])
             out = {k: np.asarray(v) for k, v in out.items()}
+            if getattr(self.args, "visualize", False):
+                self._visualize_features(model, variables, x, path)
             t2 = time.perf_counter()
             res = self.postprocess(out, 0, orig, path, gain, pad, names)
             res.speed = {

@@ -169,19 +169,31 @@ class Results:
         ]
 
     def __getitem__(self, idx):
-        """Index detections (reference results.py:106)."""
+        """Index detections (reference results.py:106).
+
+        Integer indices keep the leading instance axis (reference keeps
+        ``(1, ...)`` shapes): ``r[0].masks.data`` is ``(1, H, W)``, not
+        ``(H, W)`` — ``np.atleast_3d`` would append the new axis LAST.
+        """
         r = self.new()
+        is_int = isinstance(idx, (int, np.integer))
+
+        def _keepdim(a):
+            a = np.asarray(a)[idx]
+            return a[None] if is_int else a
+
         if self.boxes is not None:
-            r.boxes = Boxes(np.atleast_2d(self.boxes.data[idx]), self.orig_shape)
+            r.boxes = Boxes(self.boxes.data[idx].reshape(-1, self.boxes.data.shape[-1]),
+                            self.orig_shape)
         if self.masks is not None:
-            r.masks = Masks(np.atleast_3d(self.masks.data[idx]), self.orig_shape)
+            r.masks = Masks(_keepdim(self.masks.data), self.orig_shape)
         if self.contours is not None:
             r.contours = Contours(
-                np.atleast_3d(self.contours.points[idx]),
-                np.atleast_2d(self.contours.valid[idx]), self.orig_shape,
+                _keepdim(self.contours.points), _keepdim(self.contours.valid),
+                self.orig_shape,
             )
         if self.keypoints is not None:
-            r.keypoints = self.keypoints[idx]
+            r.keypoints = _keepdim(self.keypoints)
         return r
 
     def update(self, boxes=None, masks=None, probs=None):

@@ -149,6 +149,24 @@ class BaseTrainer:
             }
 
         train_set = self.get_dataset(data, "train")
+        if args.plots and jax.process_index() == 0 and hasattr(train_set, "labels"):
+            # label-distribution plots before training (reference
+            # trainer.py:~280 plot_training_labels -> plotting.py:266)
+            from ..utils.plotting import plot_labels
+
+            try:
+                all_cls = np.concatenate(
+                    [lab["cls"].reshape(-1) for lab in train_set.labels]
+                    or [np.zeros(0)]
+                )
+                all_box = np.concatenate(
+                    [lab["bboxes"].reshape(-1, 4) for lab in train_set.labels]
+                    or [np.zeros((0, 4))]
+                )
+                plot_labels(all_cls, all_box, names=data.get("names"),
+                            save_dir=self.save_dir)
+            except Exception as e:
+                LOGGER.warning(f"plot_labels failed: {e}")
         loader = build_dataloader(
             train_set, args.batch, args.workers, shuffle=True, mode="train",
             seed=args.seed,

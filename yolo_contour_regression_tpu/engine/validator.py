@@ -131,16 +131,36 @@ class BaseValidator:
         self.speed = {}
         name = getattr(self.args, "name", None) or f"{self.task}_val"
         self.save_dir = Path(getattr(self.args, "project", None) or "runs") / name
+        # per-instance caches: the trainer builds ONE validator and calls it
+        # every epoch — re-lowering the full predict+NMS+raster graph each
+        # call costs a fresh XLA compile per epoch on tunneled-TPU hosts
+        self._eval_fn_cache = {}
+        self._loader_cache = {}
+
+    def _cached_eval_fn(self, key, builder):
+        """Memoize a jitted eval fn keyed by everything that changes its
+        traced graph: (model identity, imgsz, max_det, conf, iou, ...)."""
+        fn = self._eval_fn_cache.get(key)
+        if fn is None:
+            fn = builder()
+            self._eval_fn_cache[key] = fn
+        return fn
 
     def build_loader(self, data):
         from copy import copy
 
+        key = (str(data.get("val")), int(self.args.batch), int(self.args.imgsz))
+        loader = self._loader_cache.get(key)
+        if loader is not None:
+            return loader
         cfg = copy(self.args)
         cfg.task = self.task
         dataset = build_yolo_dataset(cfg, data["val"], self.args.batch, data, mode="val")
-        return build_dataloader(
+        loader = build_dataloader(
             dataset, self.args.batch, self.args.workers, shuffle=False, mode="val"
         )
+        self._loader_cache[key] = loader
+        return loader
 
 
 class SegmentationValidator(BaseValidator):
@@ -225,7 +245,11 @@ class SegmentationValidator(BaseValidator):
         metrics = SegmentMetrics(names=names)
         cm = ConfusionMatrix(model.nc)
         mask_ratio = getattr(args, "mask_ratio", 4) or 4
-        eval_fn = self._make_eval_fn(model, mask_ratio, args.imgsz)
+        eval_fn = self._cached_eval_fn(
+            (id(model), mask_ratio, args.imgsz, args.max_det, args.conf,
+             args.iou, getattr(args, "pre_nms", 4096)),
+            lambda: self._make_eval_fn(model, mask_ratio, args.imgsz),
+        )
         im_files = getattr(getattr(loader, "dataset", None), "im_files", None)
 
         n_img = 0
@@ -432,7 +456,11 @@ class SegmentationOriValidator(BaseValidator):
         names = getattr(model, "names", {}) or {}
         metrics = SegmentMetrics(names=names)
         cm = ConfusionMatrix(model.nc)
-        eval_fn = self._make_eval_fn(model, args.imgsz)
+        eval_fn = self._cached_eval_fn(
+            (id(model), args.imgsz, args.max_det, args.conf, args.iou,
+             getattr(args, "pre_nms", 4096)),
+            lambda: self._make_eval_fn(model, args.imgsz),
+        )
 
         n_img = 0
         t0 = time.time()
@@ -523,7 +551,11 @@ class DetectionValidator(BaseValidator):
         names = getattr(model, "names", {}) or {}
         metrics = DetMetrics(names=names)
         cm = ConfusionMatrix(model.nc)
-        eval_fn = self._make_eval_fn(model, args.imgsz)
+        eval_fn = self._cached_eval_fn(
+            (id(model), args.imgsz, args.max_det, args.conf, args.iou,
+             getattr(args, "pre_nms", 4096)),
+            lambda: self._make_eval_fn(model, args.imgsz),
+        )
         im_files = getattr(getattr(loader, "dataset", None), "im_files", None)
         n_img = 0
         t0 = time.time()
@@ -608,30 +640,39 @@ class PoseValidator(DetectionValidator):
         nc = model.nc
         max_det = args.max_det
 
-        @jax.jit
-        def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
-            pred = model.predict(variables, images)  # (B, 4+nc+nk, A)
-            boxes_xywh = pred[:, :4]
-            pred = pred.at[:, :4].set(
-                jnp.transpose(xywh2xyxy(jnp.transpose(boxes_xywh, (0, 2, 1))), (0, 2, 1))
-            )
-            out = non_max_suppression(
-                pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
-                iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 4096),
-                max_det=max_det,
-            )
-            boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
-            gt_nat = scale_boxes(
-                xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
-            )
-            ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)
-            # keypoints: letterbox px -> native px
-            k = out["extras"].reshape(*out["extras"].shape[:2], kpt_shape[0], kpt_shape[1])
-            k = k.at[..., :2].set(scale_coords(k[..., :2], ratio_pad))
-            return {
-                **out, "boxes": boxes_nat, "gt_boxes": gt_nat,
-                "ious_box": ious_box, "kpts": k,
-            }
+        def _build():
+            @jax.jit
+            def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
+                pred = model.predict(variables, images)  # (B, 4+nc+nk, A)
+                boxes_xywh = pred[:, :4]
+                pred = pred.at[:, :4].set(
+                    jnp.transpose(xywh2xyxy(jnp.transpose(boxes_xywh, (0, 2, 1))), (0, 2, 1))
+                )
+                out = non_max_suppression(
+                    pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
+                    iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 4096),
+                    max_det=max_det,
+                )
+                boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
+                gt_nat = scale_boxes(
+                    xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+                )
+                ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)
+                # keypoints: letterbox px -> native px
+                k = out["extras"].reshape(*out["extras"].shape[:2], kpt_shape[0], kpt_shape[1])
+                k = k.at[..., :2].set(scale_coords(k[..., :2], ratio_pad))
+                return {
+                    **out, "boxes": boxes_nat, "gt_boxes": gt_nat,
+                    "ious_box": ious_box, "kpts": k,
+                }
+
+            return eval_fn
+
+        eval_fn = self._cached_eval_fn(
+            (id(model), args.imgsz, max_det, args.conf, args.iou,
+             getattr(args, "pre_nms", 4096)),
+            _build,
+        )
 
         t0 = time.time()
         n_img = 0
@@ -687,13 +728,24 @@ class ClassificationValidator(BaseValidator):
         if isinstance(data, (str, Path)):
             data = check_cls_dataset(data)
         if loader is None:
-            dataset = ClassificationDataset(data["val"], imgsz=args.imgsz, augment=False)
-            loader = build_dataloader(dataset, args.batch, args.workers, shuffle=False, mode="val")
+            key = (str(data["val"]), int(args.batch), int(args.imgsz))
+            loader = self._loader_cache.get(key)
+            if loader is None:
+                dataset = ClassificationDataset(data["val"], imgsz=args.imgsz, augment=False)
+                loader = build_dataloader(
+                    dataset, args.batch, args.workers, shuffle=False, mode="val"
+                )
+                self._loader_cache[key] = loader
         metrics = ClassifyMetrics()
 
-        @jax.jit
-        def eval_fn(variables, images):
-            return model.predict(variables, images)
+        def _build():
+            @jax.jit
+            def eval_fn(variables, images):
+                return model.predict(variables, images)
+
+            return eval_fn
+
+        eval_fn = self._cached_eval_fn((id(model), args.imgsz), _build)
 
         t0 = time.time()
         n = 0

@@ -28,6 +28,9 @@ def start(key: str = ""):
 def reset_model(model_id: str = ""):
     """Reset a registry model to an untrained state (reference :63):
     removes uploaded metrics/checkpoints, keeps the run id."""
+    if not str(model_id).strip():
+        # '' would resolve to HUB_DIR itself and wipe the whole registry
+        raise ValueError(f"{PREFIX}reset_model() requires a non-empty model_id")
     d = HUB_DIR / model_id
     if not d.exists():
         LOGGER.warning(f"{PREFIX}model '{model_id}' not in local registry {HUB_DIR}")

@@ -29,16 +29,21 @@ class RTDETRValidator(BaseValidator):
         metrics = DetMetrics(names=getattr(model, "names", {}))
         imgsz = args.imgsz
 
-        @jax.jit
-        def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
-            pred = model.predict(variables, images)  # (B, nq, 4+nc) cxcywh norm
-            # native-space matching (reference rtdetr/val.py scales to
-            # ori_shape), via the shared inverse-letterbox op
-            boxes = scale_boxes(xywh2xyxy(pred[..., :4]) * imgsz, ratio_pad, ori_shape)
-            scores = pred[..., 4:]
-            gt_xyxy = scale_boxes(xywh2xyxy(gt_bboxes) * imgsz, ratio_pad, ori_shape)
-            ious = jax.vmap(box_iou)(gt_xyxy, boxes)
-            return boxes, scores, ious
+        def _build():
+            @jax.jit
+            def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
+                pred = model.predict(variables, images)  # (B, nq, 4+nc) cxcywh norm
+                # native-space matching (reference rtdetr/val.py scales to
+                # ori_shape), via the shared inverse-letterbox op
+                boxes = scale_boxes(xywh2xyxy(pred[..., :4]) * imgsz, ratio_pad, ori_shape)
+                scores = pred[..., 4:]
+                gt_xyxy = scale_boxes(xywh2xyxy(gt_bboxes) * imgsz, ratio_pad, ori_shape)
+                ious = jax.vmap(box_iou)(gt_xyxy, boxes)
+                return boxes, scores, ious
+
+            return eval_fn
+
+        eval_fn = self._cached_eval_fn((id(model), imgsz), _build)
 
         t0 = time.time()
         n_img = 0

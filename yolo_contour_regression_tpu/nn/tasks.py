@@ -253,7 +253,7 @@ class GraphModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, head_extra=None):
+    def __call__(self, x, train: bool = False, head_extra=None, capture: bool = False):
         specs, save, head_spec = parse_model(unfreeze_cfg(self.cfg), ch=x.shape[-1])
         y: Dict[int, Any] = {}
         out = x
@@ -278,6 +278,10 @@ class GraphModel(nn.Module):
                     inp = out
             if spec.i in save:
                 y[spec.i] = out
+            if capture and spec is not head_spec and hasattr(out, "shape"):
+                # per-layer feature maps for predictor visualize=True
+                # (reference plotting.py:573 feature_visualization hook)
+                self.sow("intermediates", f"layer{spec.i}_{spec.name}", out)
         return out  # head output
 
 
@@ -442,6 +446,16 @@ class BaseModel:
         """Eval forward + in-graph decode -> (B, C, A) prediction tensor."""
         outs = self.raw_forward(variables, x, train=False)
         return self.decode(outs)
+
+    def forward_features(self, variables, x) -> Dict[str, Any]:
+        """Per-layer feature maps {'layer{i}_{Name}': (B, H, W, C)} for
+        feature visualization (reference predictor visualize=True ->
+        plotting.py:573)."""
+        _, inter = self.module.apply(
+            variables, x, train=False, capture=True, mutable=["intermediates"]
+        )
+        # flax sow stores tuples; unwrap the single entry
+        return {k: v[0] for k, v in inter["intermediates"].items()}
 
     def decode(self, outs):
         raise NotImplementedError

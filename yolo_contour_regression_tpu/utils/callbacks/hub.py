@@ -16,8 +16,9 @@ _RATE_LIMIT_METRICS = 3.0  # reference hub.py rate_limits['metrics']
 
 
 def callbacks(instance):
-    if getattr(instance, "hub_session", None) is None:
-        return {}
+    # No attach-time gate: a session attached to the trainer AFTER
+    # add_integration_callbacks (the reference's supported flow) must still
+    # upload — each handler already no-ops when trainer.hub_session is None.
     state = {"t_ckpt": 0.0, "t_metrics": 0.0}
 
     def on_fit_epoch_end(trainer):

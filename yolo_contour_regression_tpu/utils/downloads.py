@@ -180,6 +180,14 @@ def safe_download(url, file=None, dir=None, unzip: bool = True,
                         f"file into $YCR_ASSETS_DIR or ~/.ycr_assets)"
                     ) from err
                 LOGGER.warning(f"download failure, retrying {i + 1}/{retry} {url}")
+        if not f.is_file():
+            # every attempt returned an undersized body (captive portal /
+            # empty 200) without raising — still a failure, fail loudly
+            raise ConnectionError(
+                f"download failure for {clean_url(url)}: all {retry + 1} "
+                f"attempts returned < {min_bytes} bytes (zero-egress image? "
+                f"pre-seed the file into $YCR_ASSETS_DIR or ~/.ycr_assets)"
+            )
 
     if unzip and f.exists() and f.suffix in ("", ".zip", ".tar", ".gz"):
         unzip_dir = Path(dir or f.parent)
