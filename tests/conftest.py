@@ -24,12 +24,19 @@ import pytest  # noqa: E402
 
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False, help="run slow tests")
+    parser.addoption(
+        "--runheavy", action="store_true", default=False,
+        help="run heavy (multi-minute compile) tests",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow"):
-        return
+    run_slow = config.getoption("--runslow")
+    run_heavy = config.getoption("--runheavy")
     skip_slow = pytest.mark.skip(reason="need --runslow option to run")
+    skip_heavy = pytest.mark.skip(reason="need --runheavy option to run")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords and not run_slow:
             item.add_marker(skip_slow)
+        if "heavy" in item.keywords and not run_heavy:
+            item.add_marker(skip_heavy)

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.heavy
 def test_benchmark_table_native_and_stablehlo(tmp_path):
     from yolo_contour_regression_tpu import YOLO
     from yolo_contour_regression_tpu.utils.benchmarks import benchmark

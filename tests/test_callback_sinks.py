@@ -269,7 +269,13 @@ def test_hub_sink(tmp_path, monkeypatch):
     )
     t = _trainer(tmp_path)
     t.hub_session = None
-    assert hub_sink.callbacks(t) == {}
+    # no attach-time gate (ADVICE r2): handlers are returned and must no-op
+    # while the session is unset, so a session attached AFTER
+    # add_integration_callbacks still gets uploads (the reference's flow)
+    cbs0 = hub_sink.callbacks(t)
+    assert set(cbs0) == {"on_fit_epoch_end", "on_model_save", "on_train_end"}
+    cbs0["on_fit_epoch_end"](t)  # must not raise with hub_session=None
+    cbs0["on_train_end"](t)
 
     session = HubSession.__new__(HubSession)
     session.model_id = "m1"

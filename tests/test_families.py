@@ -7,6 +7,7 @@ import pytest
 CFG = Path(__file__).parent.parent / "yolo_contour_regression_tpu/cfg/models"
 
 
+@pytest.mark.heavy
 def test_sam_prompt_pipeline():
     from yolo_contour_regression_tpu.models.sam import Predictor, Sam
 
@@ -109,6 +110,7 @@ def test_model_info_flops():
     assert info["GFLOPs"] is None or info["GFLOPs"] > 0
 
 
+@pytest.mark.heavy
 def test_mobile_sam_tinyvit_pipeline():
     """MobileSAM variant: TinyViT encoder ends at 1/16 with the 256-ch SAM
     neck and plugs into the same prompt pipeline (reference build_mobile_sam)."""

@@ -80,6 +80,7 @@ def test_nc_override():
     assert pred.shape[1] == 4 + 3 + 108
 
 
+@pytest.mark.heavy
 def test_extended_zoo_builds():
     """v6 ConvTranspose neck + 4-level P2/P6 variants (reference
     cfg/models/{v6/yolov6.yaml, v8/yolov8-p2.yaml, v8/yolov8-p6.yaml})."""
@@ -126,6 +127,7 @@ def test_extended_zoo_builds():
         )
 
 
+@pytest.mark.heavy
 def test_hybrid_and_pose_p6_builds():
     """yolov8-rtdetr (C2f backbone + deformable head) and yolov8-pose-p6
     (4-level pose) from the reference v8 zoo."""

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.heavy
 def test_nas_build_and_predict():
     import jax.numpy as jnp
 
@@ -22,6 +23,7 @@ def test_nas_build_and_predict():
     assert bool(jnp.isfinite(pred).all())
 
 
+@pytest.mark.heavy
 def test_nas_scale_ladder():
     """yolo_nas_{s,m,l} names resolve to the base yaml with growing width."""
     from yolo_contour_regression_tpu.nn.tasks import build_model
@@ -46,6 +48,7 @@ def test_nas_facade():
         NAS("yolo_nas_s.pt")
 
 
+@pytest.mark.heavy
 def test_nas_fuse_parity():
     import jax.numpy as jnp
 
@@ -61,6 +64,7 @@ def test_nas_fuse_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-2)
 
 
+@pytest.mark.heavy
 def test_nas_onnx_parity(tmp_path):
     pytest.importorskip("cv2")
     from tests.test_onnx_export import _export_and_check
@@ -68,6 +72,7 @@ def test_nas_onnx_parity(tmp_path):
     _export_and_check("yolo_nas_s.yaml", {"task": "detect", "nc": 2}, 64, tmp_path)
 
 
+@pytest.mark.heavy
 def test_nas_train_grads():
     """One SGD step on the NAS detect loss decreases it (trainability)."""
     import jax

@@ -91,6 +91,7 @@ def test_exporter_facade_onnx(tmp_path):
     assert out.shape == (1, 4 + m.model.nc + 108, a)
 
 
+@pytest.mark.heavy
 def test_onnx_rtdetr_parity(tmp_path):
     """RT-DETR native export: HGNetV2 + AIFI + deformable decoder emitted in
     opset-12 primitives; validated against model.predict through the numpy

@@ -51,6 +51,7 @@ def test_hungarian_assign_unique():
     np.testing.assert_array_equal(a[0], want)
 
 
+@pytest.mark.heavy
 def test_rtdetr_loss_and_grads(rtdetr):
     m, v = rtdetr
     from yolo_contour_regression_tpu.models.utils.loss import rtdetr_loss
@@ -98,6 +99,7 @@ def test_cdn_group_shapes_and_noise():
     assert d_neg > d_pos
 
 
+@pytest.mark.heavy
 def test_rtdetr_cdn_train_step(rtdetr):
     """CDN groups flow through the decoder; dn losses appear and all grads
     (incl. the denoising class embedding) are finite (VERDICT item #8)."""

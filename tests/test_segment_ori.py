@@ -6,6 +6,7 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yolo_contour_regression_tpu.nn.tasks import build_model
 from yolo_contour_regression_tpu.utils.loss import segmentation_ori_loss
@@ -14,6 +15,7 @@ CFG = Path(__file__).parent.parent / "yolo_contour_regression_tpu/cfg/models"
 HYP = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
 
 
+@pytest.mark.heavy
 def test_segment_ori_forward_and_loss():
     m = build_model(CFG / "yolov8-segori.yaml")
     assert m.task == "segment_ori"

@@ -336,6 +336,47 @@ def format_sample(s: Sample, max_instances: int) -> Dict[str, np.ndarray]:
     return out
 
 
+def format_sample_raw(s: Sample, max_instances: int) -> Dict[str, np.ndarray]:
+    """Sample -> raw-batch dict for the DEVICE augmentation stage
+    (data/device_augment.py): uint8 BGR letterboxed image + normalized
+    labels + the letterbox geometry (content size / top-left pad) that the
+    device mosaic needs for corner-at-center tile placement."""
+    h, w = s.img.shape[:2]
+    n = min(len(s.inst), max_instances)
+    cls = np.zeros((max_instances,), np.int32)
+    bboxes = np.zeros((max_instances, 4), np.float32)
+    segments = np.zeros((max_instances, NUM_CONTOUR_POINTS, 2), np.float32)
+    mask = np.zeros((max_instances,), bool)
+    if n:
+        inst = s.inst
+        cls[:n] = inst.cls[:n].astype(np.int32)
+        xyxy = inst.bboxes[:n]
+        xywh = np.concatenate([(xyxy[:, :2] + xyxy[:, 2:]) / 2, xyxy[:, 2:] - xyxy[:, :2]], -1)
+        bboxes[:n] = xywh / np.array([w, h, w, h], np.float32)
+        segments[:n] = inst.segments[:n] / np.array([w, h], np.float32)
+        mask[:n] = True
+    r, px, py = s.ratio_pad if s.ratio_pad else (1.0, 0.0, 0.0)
+    h0, w0 = s.ori_shape if s.ori_shape else (h, w)
+    out = {
+        "img": np.ascontiguousarray(s.img, np.uint8),
+        "cls": cls,
+        "bboxes": bboxes,
+        "segments": segments,
+        "mask_gt": mask,
+        "content_hw": np.asarray([round(h0 * r), round(w0 * r)], np.float32),
+        "pad_tl": np.asarray([py, px], np.float32),
+    }
+    if s.inst.keypoints is not None:
+        K = s.inst.keypoints.shape[1]
+        kpts = np.zeros((max_instances, K, 3), np.float32)
+        if n:
+            kpts[:n] = s.inst.keypoints[:n]
+            kpts[:n, :, 0] /= w
+            kpts[:n, :, 1] /= h
+        out["keypoints"] = kpts
+    return out
+
+
 INSTANCE_BUCKETS = (8, 16, 32)
 
 

@@ -166,6 +166,19 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         cache_images=getattr(cfg, "cache", False),
         kpt_shape=data.get("kpt_shape") if cfg.task == "pose" else None,
         flip_idx=data.get("flip_idx") if cfg.task == "pose" else None,
+        device_augment=use_device_augment(cfg) and augment,
+    )
+
+
+def use_device_augment(cfg) -> bool:
+    """Device augmentation covers the default train transform chain; the
+    host cv2 pipeline remains for the opt-in extras it doesn't implement
+    (mosaic9 grids, copy_paste) and for classify (own transform set)."""
+    return (
+        bool(getattr(cfg, "device_augment", False))
+        and getattr(cfg, "task", "detect") in ("detect", "segment", "segment_ori", "pose")
+        and float(getattr(cfg, "mosaic9", 0.0) or 0.0) == 0.0
+        and float(getattr(cfg, "copy_paste", 0.0) or 0.0) == 0.0
     )
 
 

@@ -24,6 +24,7 @@ from .augment import (
     classify_transform_eval,
     classify_transform_train,
     format_sample,
+    format_sample_raw,
     letterbox_sample,
     train_transform,
 )
@@ -109,7 +110,9 @@ class YOLODataset:
         cache_images=False,
         kpt_shape=None,
         flip_idx=None,
+        device_augment: bool = False,
     ):
+        self.device_augment = bool(device_augment)
         self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
         self.flip_idx = tuple(flip_idx) if flip_idx else None
         self.imgsz = imgsz
@@ -249,6 +252,13 @@ class YOLODataset:
         return Sample(img, Instances(lab["cls"].astype(np.float32), xyxy, segs, kpts))
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        if self.device_augment and self.augment:
+            # device-augmentation mode: host does decode + letterbox only;
+            # mosaic/affine/mixup/HSV/flips run on-device
+            # (data/device_augment.py). close_mosaic is handled by the
+            # trainer swapping the device hyp, not here.
+            s = letterbox_sample(self.load_raw(i), self.imgsz, scaleup=True)
+            return format_sample_raw(s, self.max_instances)
         if self.augment and self.hyp is not None:
             hyp = self.hyp
             if not self.mosaic_enabled:

@@ -100,16 +100,29 @@ def make_train_step(
     accumulate: int = 1,
     mesh=None,
     donate: bool = True,
+    augment_fn=None,
+    aug_seed: int = 0,
 ):
     """Build the jitted step fn: (state, images, batch) -> (state, metrics).
 
     With a mesh, inputs are expected batch-sharded and state replicated; the
     same compiled fn covers 1..N chips (mesh of 1 == single-device).
+
+    ``augment_fn`` (data/device_augment.make_augment_fn) folds the device-side
+    train augmentation into the SAME compiled program: raw uint8 letterboxed
+    batches come off the host, mosaic/warp/mixup/HSV/flips run on device and
+    XLA overlaps them with the conv graph. Randomness is derived from
+    (aug_seed, state.step[, micro index]) so steps are reproducible and
+    resume-stable.
     """
     loss_fn = make_loss_fn(model, hyp, cand=cand)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    aug_base = jax.random.PRNGKey(aug_seed)
 
     def step_fn(state: TrainState, images, batch):
+        if augment_fn is not None and accumulate <= 1:
+            key = jax.random.fold_in(aug_base, state.step)
+            images, batch = augment_fn(key, images, batch)
         if accumulate > 1:
             # micro-batch scan over pre-stacked (accumulate, B, ...) inputs
             # (sharded on axis 1 by parallel.shard_microbatches). Gradients
@@ -119,7 +132,12 @@ def make_train_step(
             # effective batch nbs exactly as the reference's does.
             def micro(carry, xs):
                 g_acc, stats = carry
-                im, bt = xs
+                im, bt, mi = xs
+                if augment_fn is not None:
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(aug_base, state.step), mi
+                    )
+                    im, bt = augment_fn(key, im, bt)
                 (tot, (items, new_stats)), g = grad_fn(
                     state.params, stats, im, bt, state.step
                 )
@@ -128,7 +146,8 @@ def make_train_step(
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             (grads, new_stats), (totals, items) = jax.lax.scan(
-                micro, (zeros, state.batch_stats), (images, batch)
+                micro, (zeros, state.batch_stats),
+                (images, batch, jnp.arange(accumulate)),
             )
             total = totals.mean()
             items = jax.tree_util.tree_map(jnp.mean, items)

@@ -203,11 +203,28 @@ class BaseTrainer:
             )
         mesh = create_mesh(devices[:n_use])
         state = replicate_tree(mesh, state)
-        step_fn = make_train_step(
-            self.model, tx, args, cand=getattr(args, "cand_per_gt", 128),
-            accumulate=accumulate, mesh=mesh,
-            donate=bool(getattr(args, "donate", True)),
-        )
+
+        # device-side augmentation (data/device_augment.py): the dataset is
+        # in raw mode (decode+letterbox only) and mosaic/warp/mixup/HSV/flips
+        # fold into the jitted train step
+        raw_mode = bool(getattr(train_set, "device_augment", False))
+        aug_fn = None
+        if raw_mode:
+            from ..data.device_augment import make_augment_fn
+
+            aug_fn = make_augment_fn(
+                args, args.imgsz, getattr(args, "max_instances", 48), mesh=mesh
+            )
+
+        def build_step(augment_fn):
+            return make_train_step(
+                self.model, tx, args, cand=getattr(args, "cand_per_gt", 128),
+                accumulate=accumulate, mesh=mesh,
+                donate=bool(getattr(args, "donate", True)),
+                augment_fn=augment_fn, aug_seed=args.seed,
+            )
+
+        step_fn = build_step(aug_fn)
 
         validator = self.get_validator() if args.val else None
         stopper = EarlyStopping(args.patience)
@@ -228,6 +245,20 @@ class BaseTrainer:
             if epoch == close_mosaic_at and hasattr(train_set, "close_mosaic"):
                 LOGGER.info("closing mosaic augmentation")
                 train_set.close_mosaic()
+                if raw_mode:
+                    # device pipeline: swap to a no-mosaic/no-mixup aug fn
+                    # (one extra compile, reference trainer.py:304 semantics)
+                    from copy import copy as _copy
+
+                    from ..data.device_augment import make_augment_fn
+
+                    hyp_nm = _copy(args)
+                    hyp_nm.mosaic = 0.0
+                    hyp_nm.mixup = 0.0
+                    step_fn = build_step(make_augment_fn(
+                        hyp_nm, args.imgsz,
+                        getattr(args, "max_instances", 48), mesh=mesh,
+                    ))
             epoch_metrics: Dict[str, float] = {}
             t0 = time.time()
             for i in range(steps_per_epoch):
@@ -259,6 +290,8 @@ class BaseTrainer:
                 if args.plots and not first_batch_plotted and args.task != "classify":
                     from ..utils.plotting import plot_images
 
+                    if pimg.dtype == np.uint8:  # raw device-aug batch: BGR u8
+                        pimg = pimg[..., ::-1].astype(np.float32) / 255.0
                     plot_images(
                         pimg, pbatch,
                         fname=str(self.save_dir / "train_batch0.jpg"),
