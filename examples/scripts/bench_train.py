@@ -22,7 +22,8 @@ sys.path.insert(0, str(ROOT))
 import numpy as np
 
 
-def measure(task: str, nmax: int, imgsz: int = 640, B: int = 16) -> dict:
+def measure(task: str, nmax: int, imgsz: int = 640, B: int = 16,
+            n_real: int = None) -> dict:
     import jax
     import jax.numpy as jnp
     from types import SimpleNamespace
@@ -41,10 +42,13 @@ def measure(task: str, nmax: int, imgsz: int = 640, B: int = 16) -> dict:
     img = jnp.asarray(rng.uniform(0, 1, (B, imgsz, imgsz, 3)).astype(np.float32))
     t = np.linspace(0, 2 * math.pi, 360, endpoint=False)
     contour = np.stack([0.5 + 0.2 * np.cos(t), 0.5 + 0.2 * np.sin(t)], -1)
+    n_real = nmax if n_real is None else n_real
+    mask = np.zeros((B, nmax), bool)
+    mask[:, :n_real] = True
     batch = {
         "cls": jnp.ones((B, nmax), jnp.int32),
         "bboxes": jnp.tile(jnp.asarray([0.5, 0.5, 0.4, 0.4]), (B, nmax, 1)),
-        "mask_gt": jnp.ones((B, nmax), bool),
+        "mask_gt": jnp.asarray(mask),
     }
     if task == "segment":
         batch["segments"] = jnp.tile(jnp.asarray(contour, jnp.float32), (B, nmax, 1, 1))
@@ -52,7 +56,9 @@ def measure(task: str, nmax: int, imgsz: int = 640, B: int = 16) -> dict:
     def loss_fn(p, key):
         feats, _ = m.raw_forward({**v, "params": p}, img + key * 1e-12, train=True)
         if task == "segment":
-            return segmentation_loss(feats, batch, m.strides, m.nc, HYP).total
+            # cand='auto' = production default: imgsz-adaptive cap with the
+            # work-balanced crowded-bucket budget (utils/tal.py resolve_cand)
+            return segmentation_loss(feats, batch, m.strides, m.nc, HYP, cand="auto").total
         return detection_loss(feats, batch, m.strides, m.nc, HYP).total
 
     g = jax.jit(jax.grad(loss_fn))
@@ -77,7 +83,8 @@ def measure(task: str, nmax: int, imgsz: int = 640, B: int = 16) -> dict:
         return min(ts)
 
     per = (timed(10) - timed(2)) / 8
-    return {"task": task, "nmax": nmax, "ms_per_step": round(per * 1e3, 1),
+    return {"task": task, "nmax": nmax, "n_real": n_real,
+            "ms_per_step": round(per * 1e3, 1),
             "imgs_per_sec": round(B / per, 0), "batch": B, "imgsz": imgsz}
 
 
@@ -85,13 +92,15 @@ def main():
     rows = [
         measure("detect", 8),
         measure("segment", 8),
-        measure("segment", 48),
+        measure("segment", 48),              # worst case: 48 REAL big objects
+        measure("segment", 48, n_real=8),    # padded bucket: kernel block-skip
     ]
     det = rows[0]["ms_per_step"]
     rec = {
         "rows": rows,
         "seg_over_detect_typical": round(rows[1]["ms_per_step"] / det, 2),
         "seg_over_detect_worst48": round(rows[2]["ms_per_step"] / det, 2),
+        "seg_over_detect_pad48": round(rows[3]["ms_per_step"] / det, 2),
         "note": "fused fwd+assign+loss+grad step; fork claim: seg trains at 1-2x detect",
     }
     out = ROOT / "runs" / "train_bench.json"

@@ -75,3 +75,95 @@ def test_gt_rays_pallas2_interpret_parity():
     v2 = np.asarray(gt_rays_pallas2(jnp.asarray(contours), jnp.asarray(centers), interpret=True))
     np.testing.assert_allclose(v2, v1, atol=1e-5)
     np.testing.assert_allclose(v2, ref, atol=1e-2, rtol=1e-3)  # poly-atan2 tol
+
+def test_gt_rays_pallas3_interpret_parity():
+    """v3 row-shared kernel == dense reference on all-valid pairs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.ops.pallas_polar import gt_rays_pallas3
+    from yolo_contour_regression_tpu.ops.polar import gt_rays_from_contour
+
+    rng = np.random.RandomState(0)
+    R, K = 4, 16
+    t = np.linspace(0, 2 * np.pi, 360, endpoint=False)
+    rad = 20 + 10 * rng.rand(R, 1)
+    cx = 64 + 20 * rng.rand(R, 1)
+    cy = 64 + 20 * rng.rand(R, 1)
+    contours = np.stack(
+        [cx + rad * np.cos(t), cy + rad * np.sin(t)], -1
+    ).astype(np.float32)  # (R, 360, 2)
+    centers = (contours.mean(1, keepdims=True)
+               + rng.uniform(-8, 8, (R, K, 2))).astype(np.float32)
+    valid = np.ones((R, K), bool)
+
+    got = gt_rays_pallas3(
+        jnp.asarray(contours), jnp.asarray(centers), jnp.asarray(valid),
+        interpret=True,
+    )
+    pairs = np.broadcast_to(contours[:, None], (R, K, 360, 2)).reshape(-1, 360, 2)
+    want = gt_rays_from_contour(
+        jnp.asarray(pairs), jnp.asarray(centers.reshape(-1, 2))
+    ).reshape(R, K, 36)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-3)
+
+
+def test_gt_rays_pallas3_block_skip():
+    """Fully-invalid 8-pair blocks emit the RAY_EPS sentinel; valid-prefix
+    pairs keep exact values (the n_max=48 cliff fix)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.ops.pallas_polar import gt_rays_pallas3
+    from yolo_contour_regression_tpu.ops.polar import RAY_EPS, gt_rays_from_contour
+
+    rng = np.random.RandomState(1)
+    R, K = 2, 24  # 3 blocks per row
+    t = np.linspace(0, 2 * np.pi, 360, endpoint=False)
+    contours = np.stack(
+        [48 + 16 * np.cos(t), 48 + 16 * np.sin(t)], -1
+    ).astype(np.float32)[None].repeat(R, 0)
+    centers = (48 + rng.uniform(-6, 6, (R, K, 2))).astype(np.float32)
+    valid = np.zeros((R, K), bool)
+    valid[0, :5] = True   # block 0 active (mixed), blocks 1-2 skipped
+    # row 1: all invalid -> every block skipped
+
+    got = np.asarray(gt_rays_pallas3(
+        jnp.asarray(contours), jnp.asarray(centers), jnp.asarray(valid),
+        interpret=True,
+    ))
+    # skipped blocks: sentinel everywhere
+    np.testing.assert_allclose(got[0, 8:], RAY_EPS)
+    np.testing.assert_allclose(got[1], RAY_EPS)
+    # active block: parity for the valid prefix
+    want = np.asarray(gt_rays_from_contour(
+        jnp.asarray(contours[0][None].repeat(5, 0)), jnp.asarray(centers[0, :5])
+    ))
+    np.testing.assert_allclose(got[0, :5], want, rtol=2e-4, atol=2e-3)
+
+
+def test_gt_rays_rows_fast_pads_nonmultiple_k():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.ops.pallas_polar import gt_rays_rows_fast
+    from yolo_contour_regression_tpu.ops.polar import gt_rays_from_contour
+
+    rng = np.random.RandomState(2)
+    R, K = 3, 13
+    t = np.linspace(0, 2 * np.pi, 360, endpoint=False)
+    contours = np.stack(
+        [32 + 10 * np.cos(t), 32 + 10 * np.sin(t)], -1
+    ).astype(np.float32)[None].repeat(R, 0)
+    centers = (32 + rng.uniform(-4, 4, (R, K, 2))).astype(np.float32)
+    valid = np.ones((R, K), bool)
+    got = gt_rays_rows_fast(
+        jnp.asarray(contours), jnp.asarray(centers), jnp.asarray(valid),
+        interpret=True,
+    )
+    assert got.shape == (R, K, 36)
+    pairs = np.broadcast_to(contours[:, None], (R, K, 360, 2)).reshape(-1, 360, 2)
+    want = gt_rays_from_contour(
+        jnp.asarray(pairs), jnp.asarray(centers.reshape(-1, 2))
+    ).reshape(R, K, 36)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-3)

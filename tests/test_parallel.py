@@ -95,3 +95,79 @@ def test_tp_sharded_forward_matches_replicated():
     x_s = shard_batch(mesh, x)
     got = jax.jit(f)(p_tp, x_s)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+def test_build_train_mesh_shapes():
+    from yolo_contour_regression_tpu.parallel.mesh import build_train_mesh
+
+    devs = jax.devices()[:8]
+    m1 = build_train_mesh(devs, batch=16, tp=1)
+    assert dict(m1.shape) == {"batch": 8}
+    m2 = build_train_mesh(devs, batch=16, tp=2)
+    assert dict(m2.shape) == {"batch": 4, "model": 2}
+    m3 = build_train_mesh(devs, batch=3, tp=2)  # dp adjusts to divide batch
+    assert dict(m3.shape) == {"batch": 3, "model": 2}
+    with pytest.raises(ValueError):
+        build_train_mesh(devs[:7], batch=8, tp=2)
+
+
+@pytest.mark.slow
+def test_tp_train_step_matches_pure_dp():
+    """One full polar train step on dp=4 x tp=2 must match pure dp=8:
+    same loss, same updated params (VERDICT r2 next-#5 equivalence gate).
+    Uses the SAME helpers BaseTrainer.train calls (build_train_mesh /
+    place_train_state)."""
+    import math
+    from types import SimpleNamespace
+
+    from yolo_contour_regression_tpu.engine.step import (
+        init_train_state,
+        make_train_step,
+    )
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.parallel.mesh import (
+        build_train_mesh,
+        place_train_state,
+    )
+    from yolo_contour_regression_tpu.utils.optim import build_optimizer
+
+    imgsz, nc, n_max, B = 64, 3, 4, 8
+    model = build_model("yolov8-seg.yaml", nc=nc)
+    variables = model.init(imgsz=imgsz)
+    hyp = SimpleNamespace(
+        lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=0.0005,
+        warmup_epochs=0.0, warmup_momentum=0.8, warmup_bias_lr=0.1,
+        box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0,
+        epochs=1, optimizer="SGD", cos_lr=False, batch=B, nbs=64, nc=nc,
+    )
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2 * math.pi, 360, endpoint=False)
+    contour = np.stack([0.5 + 0.2 * np.cos(t), 0.5 + 0.2 * np.sin(t)], -1)
+    images = rng.uniform(0, 1, (B, imgsz, imgsz, 3)).astype(np.float32)
+    batch = {
+        "cls": np.ones((B, n_max), np.int32),
+        "bboxes": np.tile(np.array([0.5, 0.5, 0.4, 0.4], np.float32), (B, n_max, 1)),
+        "segments": np.tile(contour.astype(np.float32), (B, n_max, 1, 1)),
+        "mask_gt": np.zeros((B, n_max), bool),
+    }
+    batch["mask_gt"][:, 0] = True
+
+    results = {}
+    for tp in (1, 2):
+        mesh = build_train_mesh(jax.devices()[:8], batch=B, tp=tp)
+        tx = build_optimizer(variables["params"], hyp, steps_per_epoch=5, iterations=5)
+        state = place_train_state(mesh, init_train_state(variables, tx))
+        step = make_train_step(model, tx, hyp, cand=32, mesh=mesh, donate=False)
+        with mesh:
+            new_state, metrics = step(state, shard_batch(mesh, images), shard_batch(mesh, batch))
+        results[tp] = (
+            float(metrics["loss"]),
+            jax.tree_util.tree_map(np.asarray, new_state.params),
+        )
+
+    l1, p1 = results[1]
+    l2, p2 = results[2]
+    assert abs(l1 - l2) < 1e-3 * max(abs(l1), 1.0), (l1, l2)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)

@@ -85,6 +85,8 @@ def _coerce(k: str, v: Any) -> Any:
             return v  # these accept a checkpoint path as well as a bool
         return v.lower() in ("1", "true", "yes")
     if k in CFG_INT_KEYS and isinstance(v, (str, float)):
+        if k == "cand_per_gt" and isinstance(v, str) and v.lower() == "auto":
+            return v  # imgsz-adaptive assigner cap (tal.resolve_cand)
         return int(float(v))
     if k in CFG_FRACTION_KEYS and isinstance(v, str):
         return float(v)

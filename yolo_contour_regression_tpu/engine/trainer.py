@@ -32,8 +32,7 @@ from ..data.build import build_dataloader, build_yolo_dataset
 from ..data.dataset import ClassificationDataset
 from ..data.utils import check_cls_dataset, check_det_dataset
 from ..nn.tasks import build_model
-from ..parallel import create_mesh, shard_batch
-from ..parallel.mesh import replicate_tree
+from ..parallel import shard_batch
 from ..utils import LOGGER, colorstr
 from ..utils.checkpoint import save_checkpoint, load_checkpoint, strip_optimizer
 from ..utils.optim import build_optimizer
@@ -192,17 +191,21 @@ class BaseTrainer:
                 step=jnp.asarray(self._resume_ckpt["step"], jnp.int32),
             )
 
-        # data-parallel mesh over the largest device count dividing the batch
-        # (the DDP analog of world_size | batch, but auto-adjusted not fatal)
+        # mesh (parallel/mesh.py, shared with the driver dryrun): 1-D
+        # data-parallel by default; args.tp > 1 adds a 'model' axis that
+        # shards conv output channels (tensor parallelism via GSPMD)
+        from ..parallel.mesh import build_train_mesh, place_train_state
+
         devices = jax.devices()
-        n_use = max(d for d in range(1, len(devices) + 1) if args.batch % d == 0)
-        if n_use < len(devices):
+        tp = int(getattr(args, "tp", 1) or 1)
+        mesh = build_train_mesh(devices, args.batch, tp=tp)
+        n_used = len(mesh.devices.flatten())
+        if n_used < len(devices):
             LOGGER.warning(
-                f"batch {args.batch} not divisible by {len(devices)} devices; "
-                f"using {n_use} device(s)"
+                f"batch {args.batch} / tp {tp} uses {n_used} of "
+                f"{len(devices)} device(s)"
             )
-        mesh = create_mesh(devices[:n_use])
-        state = replicate_tree(mesh, state)
+        state = place_train_state(mesh, state)
 
         # device-side augmentation (data/device_augment.py): the dataset is
         # in raw mode (decode+letterbox only) and mosaic/warp/mixup/HSV/flips

@@ -194,7 +194,7 @@ class SegmentationValidator(BaseValidator):
                 conf_thres=self.args.conf,
                 iou_thres=self.args.iou,
                 pre_nms=getattr(self.args, "pre_nms", 4096),
-                max_det=max_det,
+                max_det=max_det, multi_label=True,
             )
             # pred boxes: letterbox px -> native px, clipped to native
             # bounds; GT: normalized letterbox -> native px
@@ -398,7 +398,7 @@ class SegmentationOriValidator(BaseValidator):
             out = non_max_suppression(
                 pred.astype(jnp.float32), nc=nc, conf_thres=self.args.conf,
                 iou_thres=self.args.iou, pre_nms=getattr(self.args, "pre_nms", 4096),
-                max_det=max_det,
+                max_det=max_det, multi_label=True,
             )
             boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
             gt_nat = scale_boxes(
@@ -525,7 +525,7 @@ class DetectionValidator(BaseValidator):
             out = non_max_suppression(
                 pred.astype(jnp.float32), nc=nc, conf_thres=self.args.conf,
                 iou_thres=self.args.iou, pre_nms=getattr(self.args, "pre_nms", 4096),
-                max_det=max_det,
+                max_det=max_det, multi_label=True,
             )
             boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
             gt_nat = scale_boxes(
@@ -651,7 +651,7 @@ class PoseValidator(DetectionValidator):
                 out = non_max_suppression(
                     pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
                     iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 4096),
-                    max_det=max_det,
+                    max_det=max_det, multi_label=True,
                 )
                 boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
                 gt_nat = scale_boxes(

@@ -109,7 +109,7 @@ def batched_nms(
 
 @partial(
     jax.jit,
-    static_argnames=("nc", "pre_nms", "max_det", "agnostic"),
+    static_argnames=("nc", "pre_nms", "max_det", "agnostic", "multi_label"),
 )
 def non_max_suppression(
     prediction: jnp.ndarray,
@@ -119,6 +119,7 @@ def non_max_suppression(
     pre_nms: int = 1024,
     max_det: int = 300,
     agnostic: bool = False,
+    multi_label: bool = False,
 ):
     """Batched NMS over raw head output.
 
@@ -127,14 +128,32 @@ def non_max_suppression(
     Note the polar head already emits xyxy (the reference removed xywh2xyxy at
     ops.py:363); we keep that contract.
 
+    ``multi_label``: every (anchor, class) pair above ``conf_thres`` becomes
+    a candidate — the reference's VAL-mode semantics (ops.py:357,385
+    ``multi_label=True`` at val, best-class at predict). Implemented with
+    static shapes: top-``pre_nms`` over the flattened (A*nc,) score matrix,
+    then gather boxes/extras by anchor index.
+
     Returns dict of (B, max_det, ...) arrays + valid mask (B, max_det).
     """
     pred = jnp.transpose(prediction, (0, 2, 1))  # (B, A, C)
     boxes = pred[..., :4]
     cls_scores = pred[..., 4 : 4 + nc]
     extras = pred[..., 4 + nc :]
-    scores = cls_scores.max(-1)
-    classes = cls_scores.argmax(-1)
+
+    if multi_label and nc > 1:
+        B, A = cls_scores.shape[:2]
+        k = min(pre_nms, A * nc)
+        flat = cls_scores.reshape(B, A * nc)
+        gated = jnp.where(flat > conf_thres, flat, -1.0)
+        scores, idx = jax.lax.top_k(gated, k)  # (B, k)
+        anchor = idx // nc
+        classes = idx % nc
+        boxes = jnp.take_along_axis(boxes, anchor[..., None], axis=1)
+        extras = jnp.take_along_axis(extras, anchor[..., None], axis=1)
+    else:
+        scores = cls_scores.max(-1)
+        classes = cls_scores.argmax(-1)
 
     fn = partial(
         batched_nms,

@@ -131,6 +131,146 @@ def gt_rays_fast(contour, center, chunk: int = 4096):
     return gt_rays_from_contour(contour, center, chunk=chunk)
 
 
+# --- v3: row-shared contours + block skipping --------------------------------
+# The assigner's pairs are (gt row, candidate anchor) with K candidates per
+# row sharing ONE contour. v2 takes per-pair contours, so the caller
+# materializes a broadcast (B, N, K, 360, 2) tensor — 283 MB of HBM traffic
+# at B=16, N=48, K=128. v3 fetches each row's contour once via the BlockSpec
+# index map (i*8 // K) — K/8 x less input DMA — and takes a per-block
+# validity flag: candidates are ranked in-box-first (tal.py cand_key), so
+# valid pairs form a PREFIX of every K-row and whole 8-pair blocks of padding
+# skip all compute via pl.when (this is what kills the n_max=48 train-step
+# cliff: padded GT rows cost ~nothing).
+
+PAIRS_PER_PROG3 = 8
+_ROWS3 = PAIRS_PER_PROG3 * NUM_RAYS  # 288
+
+
+def _gt_rays_kernel3(flag_ref, cx_ref, cy_ref, ctr_ref, out_ref, diff_ref,
+                     dist_ref, *, pairs_per_row: int):
+    """Blocks: flag (8, 1) SMEM per-pair validity; cx/cy (8, 360) VMEM — an
+    ALIGNED 8-row window of contours (Mosaic requires 8-sublane tiles); the
+    program's row is selected dynamically inside; ctr (8, 2) SMEM; out
+    (288, 1) VMEM. The block is active when ANY of its 8 pairs is valid."""
+    any_valid = sum(flag_ref[j, 0] for j in range(PAIRS_PER_PROG3))
+    i = pl.program_id(0)
+    row = (i * PAIRS_PER_PROG3) // pairs_per_row
+    sub = row % 8  # position inside the aligned 8-row window
+
+    @pl.when(any_valid > 0)
+    def _active():
+        theta_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (_ROWS3, NUM_CONTOUR_POINTS), 0)
+            % NUM_RAYS
+        ).astype(jnp.float32) * RAY_STEP_DEG
+
+        cx_row = cx_ref[pl.ds(sub, 1), :]  # (1, 360)
+        cy_row = cy_ref[pl.ds(sub, 1), :]
+        for j in range(PAIRS_PER_PROG3):
+            vx = cx_row - ctr_ref[j, 0]  # (1, 360)
+            vy = cy_row - ctr_ref[j, 1]
+            ang = _atan2(vy, vx) * (180.0 / math.pi)
+            ang = jnp.where(ang < 0, ang + 360.0, ang)
+            d = jnp.sqrt(vx * vx + vy * vy)
+            lo = j * NUM_RAYS
+            diff_ref[lo : lo + NUM_RAYS, :] = jnp.broadcast_to(
+                ang, (NUM_RAYS, NUM_CONTOUR_POINTS)
+            )
+            dist_ref[lo : lo + NUM_RAYS, :] = jnp.broadcast_to(
+                d, (NUM_RAYS, NUM_CONTOUR_POINTS)
+            )
+
+        diff = jnp.abs(diff_ref[...] - theta_row)
+        diff = jnp.where(diff > 180.0, 360.0 - diff, diff)
+        dist_b = dist_ref[...]
+
+        def sweep(k, carry):
+            diff_m, best_dist, min_gap = carry
+            mn = diff_m.min(axis=-1, keepdims=True)
+            sel = diff_m <= mn
+            best_dist = jnp.maximum(
+                best_dist, jnp.where(sel, dist_b, -_INF).max(-1, keepdims=True)
+            )
+            min_gap = jnp.where(k == 0, mn, min_gap)
+            diff_m = jnp.where(sel, _INF, diff_m)
+            return diff_m, best_dist, min_gap
+
+        init = (
+            diff,
+            jnp.full((_ROWS3, 1), -_INF, jnp.float32),
+            jnp.zeros((_ROWS3, 1), jnp.float32),
+        )
+        _, best_dist, min_gap = jax.lax.fori_loop(0, ANGLE_TOPK, sweep, init)
+        rays = jnp.where(min_gap > ANGLE_GAP_DEG, RAY_EPS, best_dist)
+        out_ref[...] = jnp.clip(rays, RAY_EPS, None)
+
+    @pl.when(any_valid == 0)
+    def _skip():
+        # padding block: write the 'invisible ray' sentinel so downstream
+        # masked math sees finite values (never garbage VMEM)
+        out_ref[...] = jnp.full((_ROWS3, 1), RAY_EPS, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gt_rays_pallas3(contour_rows: jnp.ndarray, centers: jnp.ndarray,
+                    valid: jnp.ndarray, interpret: bool = False):
+    """(R, 360, 2) row contours, (R, K, 2) per-pair centers, (R, K) validity
+    -> (R, K, 36). K must be a multiple of 8 (caller pads; tal.py does)."""
+    R, K = centers.shape[:2]
+    assert K % PAIRS_PER_PROG3 == 0, f"K={K} not a multiple of {PAIRS_PER_PROG3}"
+    nblocks = R * K // PAIRS_PER_PROG3
+    # per-PAIR flags, (R*K, 1): SMEM blocks must be (8, 1)-tileable
+    flags = valid.reshape(R * K, 1).astype(jnp.int32)
+    padr = (-R) % 8  # contour rows padded so 8-row windows stay in bounds
+    cxy = jnp.pad(contour_rows.astype(jnp.float32), ((0, padr), (0, 0), (0, 0)))
+    cx = cxy[..., 0]  # (R8, 360)
+    cy = cxy[..., 1]
+    ctr = centers.reshape(R * K, 2).astype(jnp.float32)
+    kpb = PAIRS_PER_PROG3
+
+    out = pl.pallas_call(
+        functools.partial(_gt_rays_kernel3, pairs_per_row=K),
+        out_shape=jax.ShapeDtypeStruct((R * K * NUM_RAYS, 1), jnp.float32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((PAIRS_PER_PROG3, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, NUM_CONTOUR_POINTS), lambda i: ((i * kpb) // K // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, NUM_CONTOUR_POINTS), lambda i: ((i * kpb) // K // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAIRS_PER_PROG3, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS3, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS3, NUM_CONTOUR_POINTS), jnp.float32),
+            pltpu.VMEM((_ROWS3, NUM_CONTOUR_POINTS), jnp.float32),
+        ],
+        interpret=interpret,
+    )(flags, cx, cy, ctr)
+    return out.reshape(R, K, NUM_RAYS)
+
+
+def gt_rays_rows_fast(contour_rows, centers, valid, chunk: int = 4096,
+                      interpret: bool = False):
+    """Row-shared dispatch (assigner entry): TPU -> v3 kernel with padding
+    skip; elsewhere -> dense reference math on the flattened pairs. Pads K up
+    to a multiple of 8 internally."""
+    R, K = centers.shape[:2]
+    padk = (-K) % PAIRS_PER_PROG3
+    if jax.default_backend() == "tpu" or interpret:
+        if padk:
+            centers = jnp.pad(centers, ((0, 0), (0, padk), (0, 0)))
+            valid = jnp.pad(valid, ((0, 0), (0, padk)))
+        return gt_rays_pallas3(contour_rows, centers, valid,
+                               interpret=interpret)[:, :K]
+    from .polar import gt_rays_from_contour
+
+    pairs = jnp.broadcast_to(
+        contour_rows[:, None], (R, K) + contour_rows.shape[1:]
+    ).reshape(R * K, NUM_CONTOUR_POINTS, 2)
+    return gt_rays_from_contour(
+        pairs, centers.reshape(R * K, 2), chunk=chunk
+    ).reshape(R, K, NUM_RAYS)
+
+
 # --- v2: all pairs of a block swept as ONE (8*36, 360) matrix ----------------
 # The v1 kernel unrolls 8 pairs x ANGLE_TOPK sweeps as ~200 small (36, 360)
 # VPU ops per program; dispatch overhead dominates (measured 77 ms for the

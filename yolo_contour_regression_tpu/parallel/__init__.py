@@ -1,7 +1,9 @@
 from .mesh import (
     batch_sharding,
+    build_train_mesh,
     create_mesh,
     param_sharding_rule,
+    place_train_state,
     replicate,
     shard_batch,
     shard_params_tp,
@@ -9,6 +11,8 @@ from .mesh import (
 
 __all__ = [
     "create_mesh",
+    "build_train_mesh",
+    "place_train_state",
     "shard_batch",
     "replicate",
     "batch_sharding",

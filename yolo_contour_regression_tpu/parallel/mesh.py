@@ -59,6 +59,41 @@ def create_mesh(
     return Mesh(np.array(devices).reshape(sizes), names)
 
 
+def build_train_mesh(devices: Sequence[jax.Device], batch: int, tp: int = 1) -> Mesh:
+    """The trainer's mesh (BaseTrainer.train and the driver dryrun share this):
+
+    - ``tp == 1``: 1-D data-parallel mesh over the largest device count that
+      divides ``batch`` (the DDP analog of world_size | batch, auto-adjusted
+      not fatal).
+    - ``tp > 1``: 2-D ``batch x model`` mesh — conv output channels shard
+      over 'model' (param_sharding_rule), the batch over the remaining
+      devices.
+    """
+    devices = list(devices)
+    tp = max(1, int(tp or 1))
+    if tp == 1:
+        n_use = max(d for d in range(1, len(devices) + 1) if batch % d == 0)
+        return create_mesh(devices[:n_use])
+    if len(devices) % tp:
+        raise ValueError(f"tp={tp} does not divide device count {len(devices)}")
+    dp_avail = len(devices) // tp
+    dp = max(d for d in range(1, dp_avail + 1) if batch % d == 0)
+    return create_mesh(devices[: dp * tp], axes={"batch": dp, "model": tp})
+
+
+def place_train_state(mesh: Mesh, state):
+    """Place a TrainState on the mesh: replicate everything, then (on a 2-D
+    mesh) tensor-shard params/EMA/optimizer moments over 'model'."""
+    state = replicate_tree(mesh, state)
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        state = state._replace(
+            params=shard_params_tp(mesh, state.params),
+            ema_params=shard_params_tp(mesh, state.ema_params),
+            opt_state=shard_params_tp(mesh, state.opt_state),
+        )
+    return state
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard dim 0 over the 'batch' axis, replicate the rest."""
     return NamedSharding(mesh, P("batch", *([None] * (ndim - 1))))

@@ -67,15 +67,19 @@ def segmentation_loss(
     strides: Sequence[int],
     nc: int,
     hyp,
-    cand: int = 128,
+    cand=128,
 ) -> LossOut:
-    """Polar segmentation loss (reference v8SegmentationLoss, loss.py:772)."""
+    """Polar segmentation loss (reference v8SegmentationLoss, loss.py:772).
+    ``cand`` None/0/'auto' -> imgsz-adaptive cap (tal.resolve_cand)."""
     nm = polar_ops.NUM_RAYS
     B = feats[0].shape[0]
     dt = jnp.float32  # assigner/loss math in f32 even if model ran bf16
 
     x = flatten_levels(feats).astype(dt)  # (B, A, nm+nc)
     pred_rays, pred_scores = x[..., :nm], x[..., nm:]
+    from .tal import resolve_cand
+
+    cand = resolve_cand(cand, x.shape[1], n_pad=batch["cls"].shape[1])
 
     feat_hw = [(f.shape[1], f.shape[2]) for f in feats]
     anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=dt)

@@ -43,9 +43,15 @@ def match_predictions(
     iou: np.ndarray,  # (N, M) gt x pred
     thresholds: np.ndarray = IOU_THRESHES,
 ) -> np.ndarray:
-    """Greedy TP matching at each IoU threshold (reference validator
-    ``_process_batch`` / ``match_predictions``): class must agree; each GT and
-    each prediction used at most once per threshold, highest IoU first.
+    """TP matching at each IoU threshold with the reference's exact dedupe
+    (segment/val.py:226 _process_batch): candidate pairs above the threshold
+    are sorted by IoU descending, then deduped to one pair per DETECTION
+    (keep its highest-IoU pair), then one per LABEL. Class must agree.
+
+    Note this differs from optimal greedy matching: a detection whose best
+    pair loses the label-dedupe does NOT fall back to its next-best pair —
+    matching the reference bit-for-bit matters for mAP parity
+    (tests/test_map_parity.py measured the two algorithms ~0.02 apart).
     Returns (M, T) bool."""
     correct = np.zeros((pred_classes.shape[0], thresholds.shape[0]), bool)
     correct_class = true_classes[:, None] == pred_classes[None, :]
@@ -54,15 +60,14 @@ def match_predictions(
         gi, pi = np.nonzero(iou >= t)
         if gi.size == 0:
             continue
-        order = np.argsort(-iou[gi, pi])
-        gi, pi = gi[order], pi[order]
-        used_g = np.zeros(true_classes.shape[0], bool)
-        used_p = np.zeros(pred_classes.shape[0], bool)
-        for g, p in zip(gi, pi):
-            if used_g[g] or used_p[p]:
-                continue
-            used_g[g] = used_p[p] = True
-            correct[p, ti] = True
+        if gi.size > 1:
+            order = np.argsort(-iou[gi, pi])
+            gi, pi = gi[order], pi[order]
+            _, first = np.unique(pi, return_index=True)
+            gi, pi = gi[first], pi[first]
+            _, first = np.unique(gi, return_index=True)
+            gi, pi = gi[first], pi[first]
+        correct[pi, ti] = True
     return correct
 
 

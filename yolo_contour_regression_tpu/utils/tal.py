@@ -32,6 +32,36 @@ EPS = 1e-9
 INF = 1e9
 
 
+def resolve_cand(cand, A: int, n_pad=None) -> int:
+    """Resolve the assigner candidate cap. ``cand`` None/0/'auto' scales with
+    the anchor count (A//16, floored at 128, capped at 512) so image-filling
+    objects at large imgsz keep enough candidates — the reference computes
+    the polar metric on ALL in-box anchors (tal.py:1134-1204); the cap is
+    the static-shape approximation, quantified in
+    tests/test_assigner_loss.py::test_cand_cap_vs_exact_assignment_big_objects.
+    Block-skipping in the GT-ray kernel (ops/pallas_polar.py v3) makes the
+    larger cap nearly free when objects are small."""
+    if cand in (None, 0, "auto"):
+        base = min(A, max(128, min(A // 16, 512)))
+        if n_pad is not None:
+            base = balance_cand(base, n_pad)
+        return base
+    return min(int(cand), A)  # explicit caps are honored exactly
+
+
+def balance_cand(base: int, n_pad: int, floor: int = 48) -> int:
+    """Work-balanced candidate budget (VERDICT r2 next-#3): the GT-ray cost
+    is ~ N_pad x K pairs, so crowded buckets (N_pad 32/48) trade per-GT
+    candidate breadth for bounded total work — K ~ base * 8 / N_pad, floored.
+    Crowded real images have small objects (few in-box anchors each), so the
+    narrower per-GT cap stays exact for them; the approximation only binds
+    for many LARGE overlapping objects (quantified in
+    tests/test_assigner_loss.py)."""
+    if n_pad <= 8:
+        return base
+    return max(floor, min(base, (base * 8) // n_pad))
+
+
 class AssignResult(NamedTuple):
     target_labels: jnp.ndarray  # (B, A) int32
     target_bboxes: jnp.ndarray  # (B, A, 4) xyxy (same units as gt_bboxes)
@@ -144,14 +174,18 @@ def polar_task_aligned_assign(
         axis=2,
     )  # (B, N, K, 36)
 
-    # --- GT rays per candidate pair (the hot loop; chunked internally) ------
-    contour_pairs = jnp.broadcast_to(
-        gt_contours[:, :, None], (B, N, K, polar_ops.NUM_CONTOUR_POINTS, 2)
-    ).reshape(-1, polar_ops.NUM_CONTOUR_POINTS, 2)
-    from ..ops.pallas_polar import gt_rays_fast
+    # --- GT rays per candidate pair (the hot loop) --------------------------
+    # row-shared form: the K candidates of one GT share its contour, so the
+    # kernel fetches each contour once (not K broadcast copies), and the
+    # in-box-first candidate ranking makes `valid_cand` a per-row PREFIX —
+    # all-padding 8-pair blocks skip compute entirely (ops/pallas_polar.py v3)
+    from ..ops.pallas_polar import gt_rays_rows_fast
 
-    gt_rays_cand = gt_rays_fast(
-        contour_pairs, anc_cand.reshape(-1, 2), chunk=chunk
+    gt_rays_cand = gt_rays_rows_fast(
+        gt_contours.reshape(B * N, polar_ops.NUM_CONTOUR_POINTS, 2),
+        anc_cand.reshape(B * N, K, 2),
+        valid_cand.reshape(B * N, K),
+        chunk=chunk,
     ).reshape(B, N, K, polar_ops.NUM_RAYS)
 
     overlaps_cand = polar_ops.polar_mask_iou(gt_rays_cand, rays_cand) * valid_cand
