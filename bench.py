@@ -48,10 +48,13 @@ def measure(batch: int) -> dict:
     imgsz = 640
     dtype = jnp.bfloat16
 
+    # BENCH_MODEL picks the scale (yolov8n-seg default; s/m for the
+    # reference README.md:140-144 ladder — runs/bench_scales.json)
+    model_name = os.environ.get("BENCH_MODEL", "yolov8n-seg")
     model = build_model(
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            "yolo_contour_regression_tpu/cfg/models/yolov8-seg.yaml",
+            f"yolo_contour_regression_tpu/cfg/models/{model_name}.yaml",
         ),
         nc=10,
         dtype=dtype,
@@ -123,7 +126,7 @@ def measure(batch: int) -> dict:
         pass
 
     out = {
-        "metric": "yolov8n-seg_e2e_throughput_640px",
+        "metric": f"{model_name}_e2e_throughput_640px",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),

@@ -1,0 +1,57 @@
+"""Scale ladder benchmark: yolov8{n,s,m}-seg e2e throughput at 640px
+(VERDICT r2 next-#6; the reference publishes the full n->x table,
+README.md:140-144). Drives bench.py in subprocesses with BENCH_MODEL /
+BENCH_BATCH; records runs/bench_scales.json.
+
+Reference A100-TensorRT anchors (README.md:140-142):
+  n: 1.21 ms -> ~826 img/s;  s: 1.47 ms -> ~680;  m: 2.18 ms -> ~459.
+"""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[2]
+
+A100_ANCHOR = {"yolov8n-seg": 826.0, "yolov8s-seg": 680.0, "yolov8m-seg": 459.0}
+# larger models need smaller batch ladders to bound compile size on the
+# tunneled chip
+LADDER = {
+    "yolov8n-seg": (128, 64, 32),
+    "yolov8s-seg": (128, 64, 32),
+    "yolov8m-seg": (64, 32, 16),
+}
+
+
+def run_one(model: str) -> dict:
+    for batch in LADDER[model]:
+        env = dict(os.environ, BENCH_MODEL=model, BENCH_BATCH=str(batch))
+        try:
+            r = subprocess.run(
+                [sys.executable, str(ROOT / "bench.py")],
+                env=env, capture_output=True, text=True, timeout=1200,
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            rec = json.loads(line)
+            if r.returncode == 0 and rec.get("value", 0) > 0:
+                rec["vs_a100_anchor"] = round(rec["value"] / A100_ANCHOR[model], 2)
+                return rec
+        except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
+            continue
+    return {"metric": f"{model}_e2e_throughput_640px", "value": 0.0,
+            "error": "all batch ladder attempts failed"}
+
+
+def main():
+    models = sys.argv[1:] or list(LADDER)
+    rows = [run_one(m) for m in models]
+    rec = {"rows": rows, "note": "e2e pipeline (pre+infer+decode+NMS), fused "
+           "deploy variables, in-graph fori_loop timing (see bench.py)"}
+    out = ROOT / "runs" / "bench_scales.json"
+    out.write_text(json.dumps(rec, indent=2))
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

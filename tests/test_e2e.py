@@ -86,3 +86,22 @@ def test_checkpoint_load_predict(ds_yaml, tmp_path):
     img = np.full((96, 96, 3), 128, np.uint8)
     res = m2.predict(img, imgsz=64)
     assert len(res) == 1
+
+
+@pytest.mark.slow
+def test_train_pose_device_augment(tmp_path):
+    """Pose training through the device-augmentation path: keypoints warp
+    with the fused mosaic/affine gather, flip_idx applies on fliplr."""
+    from tests.helpers import make_pose_dataset
+    from yolo_contour_regression_tpu import YOLO
+
+    yp = make_pose_dataset(tmp_path / "ds", n_train=8, n_val=4, imgsz=96)
+    m = YOLO("yolov8n-pose.yaml")
+    metrics = m.train(
+        data=str(yp), epochs=1, imgsz=64, batch=4, workers=2,
+        project=str(tmp_path / "runs"), warmup_epochs=0.0, val=True,
+        max_instances=8, patience=10, close_mosaic=0, fliplr=1.0,
+    )
+    assert "metrics/mAP50-95(B)" in metrics
+    import numpy as np
+    assert np.isfinite(metrics.get("fitness", np.nan))

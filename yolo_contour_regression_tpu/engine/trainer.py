@@ -215,6 +215,9 @@ class BaseTrainer:
         if raw_mode:
             from ..data.device_augment import make_augment_fn
 
+            if args.task == "pose" and data.get("flip_idx"):
+                # kpt left/right pairing for fliplr (reference augment.py:556)
+                args.flip_idx = tuple(data["flip_idx"])
             aug_fn = make_augment_fn(
                 args, args.imgsz, getattr(args, "max_instances", 48), mesh=mesh
             )
