@@ -223,3 +223,48 @@ def test_hub_dataset_stats(tmp_path):
     assert (stats.hub_dir / "stats.json").exists()
     out = stats.process_images()
     assert len(list(out.glob("*"))) == 9
+
+
+def test_rect_val_batches_and_map_equivalence(tmp_path):
+    """Rect validation (reference data/dataset.py:164 + base.py:127
+    set_rectangle): aspect-sorted batches letterboxed to per-batch /32
+    shapes. mAP must match square val (matching is native-space), with less
+    padded area per batch."""
+    import numpy as np
+
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.data.build import build_dataloader, build_yolo_dataset
+    from yolo_contour_regression_tpu.data.utils import check_det_dataset
+
+    # very wide sources (96 x 384, ar 0.25): square val letterboxes to
+    # 128x128; rect val picks a much shorter height (64) per the reference's
+    # ceil(ar * imgsz/32 + 0.5) * 32 rule
+    yp = make_shape_dataset(tmp_path / "ds", n_train=4, n_val=8, imgsz=96,
+                            img_w=384, seed=3)
+    data = check_det_dataset(str(yp))
+    cfg = get_cfg(dict(task="segment", imgsz=128, batch=4, rect=True))
+    ds = build_yolo_dataset(cfg, data["val"], 4, data, mode="val")
+    assert ds.rect and ds.order is not None
+    loader = build_dataloader(ds, 4, 2, shuffle=False, mode="val")
+    shapes = set()
+    for b in loader:
+        h, w = b["img"].shape[1:3]
+        shapes.add((h, w))
+        assert h % 32 == 0 and w % 32 == 0
+    # wide images -> rect height < rect width, and area saved vs 128x128
+    assert all(h < w for h, w in shapes), shapes
+    assert min(h for h, _ in shapes) < 128
+    assert all(h * w < 128 * 160 for h, w in shapes), shapes
+
+    # mAP equivalence on a trained-from-scratch? too slow: use an untrained
+    # model only to smoke the full val path with rect batches
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    res_rect = m.val(data=str(yp), imgsz=128, batch=4, rect=True,
+                     project=str(tmp_path / "runs_rect"))
+    res_sq = m.val(data=str(yp), imgsz=128, batch=4, rect=False,
+                   project=str(tmp_path / "runs_sq"))
+    # untrained model: both near zero, but the pipeline must agree closely
+    assert abs(res_rect["metrics/mAP50-95(M)"] - res_sq["metrics/mAP50-95(M)"]) < 0.05

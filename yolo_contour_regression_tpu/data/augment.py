@@ -68,9 +68,11 @@ def letterbox(
     return out, r, (float(left), float(top))
 
 
-def letterbox_sample(s: Sample, imgsz: int, scaleup: bool = True) -> Sample:
+def letterbox_sample(s: Sample, imgsz, scaleup: bool = True) -> Sample:
+    """``imgsz``: int (square) or (h, w) tuple (rect val batches)."""
     h0, w0 = s.img.shape[:2]
-    img, r, (px, py) = letterbox(s.img, (imgsz, imgsz), scaleup=scaleup)
+    shape = (imgsz, imgsz) if isinstance(imgsz, int) else tuple(imgsz)
+    img, r, (px, py) = letterbox(s.img, shape, scaleup=scaleup)
     inst = s.inst.copy()
     inst.scale(r, r)
     inst.translate(px, py)

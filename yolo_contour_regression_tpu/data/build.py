@@ -57,7 +57,10 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _epoch_indices(self):
-        idx = list(range(len(self.dataset)))
+        # rect val: follow the dataset's aspect-sorted order so each batch
+        # shares one letterbox shape (data/dataset.py set_rectangle)
+        order = getattr(self.dataset, "order", None)
+        idx = list(order) if order is not None and not self.shuffle else list(range(len(self.dataset)))
         if self.shuffle:
             self.rng.shuffle(idx)
         # per-host shard (multi-host data parallelism)
@@ -153,7 +156,7 @@ class DataLoader:
 def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train"):
     """(reference data/build.py:72 build_yolo_dataset)."""
     augment = mode == "train"
-    return YOLODataset(
+    ds = YOLODataset(
         img_path,
         imgsz=cfg.imgsz,
         augment=augment,
@@ -167,7 +170,11 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         kpt_shape=data.get("kpt_shape") if cfg.task == "pose" else None,
         flip_idx=data.get("flip_idx") if cfg.task == "pose" else None,
         device_augment=use_device_augment(cfg) and augment,
+        rect=bool(getattr(cfg, "rect", False)) and mode == "val",
     )
+    if ds.rect:
+        ds.set_rectangle(batch)
+    return ds
 
 
 def use_device_augment(cfg) -> bool:

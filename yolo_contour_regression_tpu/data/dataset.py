@@ -139,6 +139,41 @@ class YOLODataset:
         if self.cache_images == "disk":
             self._disk_dir = Path(self.im_files[0]).parent / ".img_cache"
             self._disk_dir.mkdir(exist_ok=True)
+        # rect val (reference data/base.py:127 set_rectangle): aspect-sorted
+        # batches letterboxed to per-batch stride-32 shapes -> less padding
+        # per batch. Each distinct shape costs one XLA compile, so shapes are
+        # quantized to /32; the loader follows self.order.
+        self.rect = bool(rect) and not augment
+        self.order: Optional[List[int]] = None
+        self._batch_shape: Optional[List] = None
+
+    def set_rectangle(self, batch_size: int, stride: int = 32, pad: float = 0.5):
+        """Compute aspect-sorted order + per-index letterbox shapes
+        (reference data/base.py:127-152)."""
+        from PIL import Image
+
+        n = len(self.im_files)
+        ar = np.empty(n, np.float64)
+        for i, f in enumerate(self.im_files):
+            with Image.open(f) as im:
+                w, h = im.size
+            ar[i] = h / w
+        order = np.argsort(ar).tolist()
+        self.order = order
+        self._batch_shape = [None] * n
+        nb = (n + batch_size - 1) // batch_size
+        for b in range(nb):
+            idxs = order[b * batch_size : (b + 1) * batch_size]
+            ari = ar[idxs]
+            mini, maxi = float(ari.min()), float(ari.max())
+            shape = [1.0, 1.0]
+            if maxi < 1:
+                shape = [maxi, 1.0]
+            elif mini > 1:
+                shape = [1.0, 1.0 / mini]
+            hw = np.ceil(np.array(shape) * self.imgsz / stride + pad).astype(int) * stride
+            for i in idxs:
+                self._batch_shape[i] = (int(hw[0]), int(hw[1]))
 
     def _scan(self, img_path, fraction) -> List[str]:
         files: List[str] = []
@@ -270,7 +305,12 @@ class YOLODataset:
             s = train_transform(self.load_raw, i, len(self), self.imgsz, hyp,
                                 self.rng, flip_idx=self.flip_idx)
         else:
-            s = letterbox_sample(self.load_raw(i), self.imgsz, scaleup=False)
+            shape = (
+                self._batch_shape[i]
+                if self.rect and self._batch_shape is not None
+                else self.imgsz
+            )
+            s = letterbox_sample(self.load_raw(i), shape, scaleup=False)
         return format_sample(s, self.max_instances)
 
     def get_shapes(self, i: int):

@@ -200,7 +200,10 @@ class SegmentationValidator(BaseValidator):
             # bounds; GT: normalized letterbox -> native px
             boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
             gt_nat = scale_boxes(
-                xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+                xywh2xyxy(gt_bboxes)
+                * jnp.asarray([images.shape[2], images.shape[1]] * 2,
+                              jnp.float32),
+                ratio_pad, ori_shape
             )
             ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)  # (B, N, max_det)
 
@@ -210,7 +213,11 @@ class SegmentationValidator(BaseValidator):
                 jnp.stack([ex[..., :36], ex[..., 36:72]], -1), ratio_pad
             )
             pvalid = (ex[..., 72:108] > 0.5) & out["valid"][..., None]
-            gpts = scale_coords(gt_segments * images.shape[1], ratio_pad)
+            gpts = scale_coords(
+                gt_segments
+                * jnp.asarray([images.shape[2], images.shape[1]], jnp.float32),
+                ratio_pad,
+            )
             gvalid = jnp.broadcast_to(mask_gt[..., None], gpts.shape[:-1])
             # uniform per-image scale onto the R x R raster grid
             s = (R / jnp.maximum(ori_shape.max(-1), 1.0))[:, None, None, None]
@@ -402,7 +409,10 @@ class SegmentationOriValidator(BaseValidator):
             )
             boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
             gt_nat = scale_boxes(
-                xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+                xywh2xyxy(gt_bboxes)
+                * jnp.asarray([images.shape[2], images.shape[1]] * 2,
+                              jnp.float32),
+                ratio_pad, ori_shape
             )
             ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)
 
@@ -529,7 +539,10 @@ class DetectionValidator(BaseValidator):
             )
             boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
             gt_nat = scale_boxes(
-                xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+                xywh2xyxy(gt_bboxes)
+                * jnp.asarray([images.shape[2], images.shape[1]] * 2,
+                              jnp.float32),
+                ratio_pad, ori_shape
             )
             ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)
             return {
@@ -655,7 +668,10 @@ class PoseValidator(DetectionValidator):
                 )
                 boxes_nat = scale_boxes(out["boxes"], ratio_pad, ori_shape)
                 gt_nat = scale_boxes(
-                    xywh2xyxy(gt_bboxes) * images.shape[1], ratio_pad, ori_shape
+                    xywh2xyxy(gt_bboxes)
+                * jnp.asarray([images.shape[2], images.shape[1]] * 2,
+                              jnp.float32),
+                ratio_pad, ori_shape
                 )
                 ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)
                 # keypoints: letterbox px -> native px
@@ -700,8 +716,9 @@ class PoseValidator(DetectionValidator):
                     gain_i, (padx, pady) = batch["ratio_pad"][bi][0], batch["ratio_pad"][bi][1:3]
                     pk = out["kpts"][bi][keep]
                     gk = batch["keypoints"][bi][gt_keep].copy()
-                    gk[..., 0] = (gk[..., 0] * imgsz - padx) / gain_i
-                    gk[..., 1] = (gk[..., 1] * imgsz - pady) / gain_i
+                    bh, bw = batch["img"].shape[1:3]  # per-axis (rect val)
+                    gk[..., 0] = (gk[..., 0] * bw - padx) / gain_i
+                    gk[..., 1] = (gk[..., 1] * bh - pady) / gain_i
                     gb = out["gt_boxes"][bi][gt_keep]
                     area = np.clip(
                         (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]) * 0.53, 1, None

@@ -34,10 +34,14 @@ class RTDETRValidator(BaseValidator):
             def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
                 pred = model.predict(variables, images)  # (B, nq, 4+nc) cxcywh norm
                 # native-space matching (reference rtdetr/val.py scales to
-                # ori_shape), via the shared inverse-letterbox op
-                boxes = scale_boxes(xywh2xyxy(pred[..., :4]) * imgsz, ratio_pad, ori_shape)
+                # ori_shape), via the shared inverse-letterbox op;
+                # per-axis scale supports rect val batches (H != W)
+                wh2 = jnp.asarray(
+                    [images.shape[2], images.shape[1]] * 2, jnp.float32
+                )
+                boxes = scale_boxes(xywh2xyxy(pred[..., :4]) * wh2, ratio_pad, ori_shape)
                 scores = pred[..., 4:]
-                gt_xyxy = scale_boxes(xywh2xyxy(gt_bboxes) * imgsz, ratio_pad, ori_shape)
+                gt_xyxy = scale_boxes(xywh2xyxy(gt_bboxes) * wh2, ratio_pad, ori_shape)
                 ious = jax.vmap(box_iou)(gt_xyxy, boxes)
                 return boxes, scores, ious
 
