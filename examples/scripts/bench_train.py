@@ -56,9 +56,9 @@ def measure(task: str, nmax: int, imgsz: int = 640, B: int = 16,
     def loss_fn(p, key):
         feats, _ = m.raw_forward({**v, "params": p}, img + key * 1e-12, train=True)
         if task == "segment":
-            # cand='auto' = production default: imgsz-adaptive cap with the
-            # work-balanced crowded-bucket budget (utils/tal.py resolve_cand)
-            return segmentation_loss(feats, batch, m.strides, m.nc, HYP, cand="auto").total
+            # production default: cand_per_gt=128 with the work-balanced
+            # crowded-bucket budget (utils/tal.py resolve_cand)
+            return segmentation_loss(feats, batch, m.strides, m.nc, HYP, cand=128).total
         return detection_loss(feats, batch, m.strides, m.nc, HYP).total
 
     g = jax.jit(jax.grad(loss_fn))

@@ -80,3 +80,37 @@ def test_onnx_unsupported_head_message(tmp_path):
     fake = SimpleNamespace(head_spec=SimpleNamespace(name="NotAHead"))
     with pytest.raises(NotImplementedError, match="stablehlo|saved_model"):
         export_onnx(fake, {"params": {}}, str(tmp_path / "m.onnx"), imgsz=64)
+
+
+@pytest.mark.heavy
+def test_tflite_int8_and_fp16_export(tmp_path):
+    """int8 post-training quantization + fp16 weight quantization for the
+    tflite deploy path (reference exporter.py:611-707 int8/half flags).
+    Checks the quantized interpreter runs and roughly tracks float preds."""
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    p16 = m.export(format="tflite", imgsz=64, half=True, project=str(tmp_path))
+    assert p16.endswith("_fp16.tflite") and Path(p16).exists()
+    p8 = m.export(format="tflite", imgsz=64, int8=True, project=str(tmp_path))
+    assert p8.endswith("_int8.tflite") and Path(p8).exists()
+    # int8 file materially smaller than fp16
+    assert Path(p8).stat().st_size < Path(p16).stat().st_size
+
+    import tensorflow as tf
+
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    m.fuse()
+    want = np.asarray(m.model.predict(m.variables, jnp.asarray(x)))
+    for pth, tol in ((p16, 2e-2), (p8, 0.35)):
+        interp = tf.lite.Interpreter(model_path=pth)
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        interp.set_tensor(inp["index"], x)
+        interp.invoke()
+        out = interp.get_tensor(interp.get_output_details()[0]["index"])
+        # compare on the box rows (well-scaled); int8 gets a loose band
+        err = np.abs(out[:, :4] - want[:, :4]).mean() / (np.abs(want[:, :4]).mean() + 1e-6)
+        assert err < tol, (pth, err)

@@ -134,8 +134,37 @@ class Exporter:
                     tf.lite.OpsSet.TFLITE_BUILTINS,
                     tf.lite.OpsSet.SELECT_TF_OPS,
                 ]
+                suffix = ""
+                if bool(getattr(self.args, "int8", False)):
+                    # post-training full-int8 quantization (reference
+                    # exporter.py:611-707 int8=True): calibrates on random
+                    # letterbox-range data unless the caller passes
+                    # args.int8_data (an iterable of (1,S,S,3) float arrays)
+                    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+                    rep = getattr(self.args, "int8_data", None)
+
+                    def representative():
+                        import numpy as _np
+
+                        if rep is not None:
+                            for a in rep:
+                                yield [a.astype(_np.float32)]
+                        else:
+                            r = _np.random.default_rng(0)
+                            for _ in range(32):
+                                yield [r.uniform(
+                                    0, 1, (batch, imgsz, imgsz, 3)
+                                ).astype(_np.float32)]
+
+                    conv.representative_dataset = representative
+                    suffix = "_int8"
+                elif bool(getattr(self.args, "half", False)):
+                    # fp16 weight quantization (reference half=True)
+                    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+                    conv.target_spec.supported_types = [tf.float16]
+                    suffix = "_fp16"
                 tfl = conv.convert()
-                path = out_dir / f"{name}.tflite"
+                path = out_dir / f"{name}{suffix}.tflite"
                 path.write_bytes(tfl)
         else:  # onnx — native writer, no torch/onnx-package dependency
             # The graph is emitted directly from the fused param tree by

@@ -79,7 +79,10 @@ def segmentation_loss(
     pred_rays, pred_scores = x[..., :nm], x[..., nm:]
     from .tal import resolve_cand
 
-    cand = resolve_cand(cand, x.shape[1], n_pad=batch["cls"].shape[1])
+    cand = resolve_cand(
+        cand, x.shape[1], n_pad=batch["cls"].shape[1],
+        balance=bool(getattr(hyp, "cand_balance", True)),
+    )
 
     feat_hw = [(f.shape[1], f.shape[2]) for f in feats]
     anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=dt)

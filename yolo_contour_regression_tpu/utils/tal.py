@@ -32,7 +32,7 @@ EPS = 1e-9
 INF = 1e9
 
 
-def resolve_cand(cand, A: int, n_pad=None) -> int:
+def resolve_cand(cand, A: int, n_pad=None, balance: bool = True) -> int:
     """Resolve the assigner candidate cap. ``cand`` None/0/'auto' scales with
     the anchor count (A//16, floored at 128, capped at 512) so image-filling
     objects at large imgsz keep enough candidates — the reference computes
@@ -42,11 +42,14 @@ def resolve_cand(cand, A: int, n_pad=None) -> int:
     Block-skipping in the GT-ray kernel (ops/pallas_polar.py v3) makes the
     larger cap nearly free when objects are small."""
     if cand in (None, 0, "auto"):
+        # exactness-leaning: scales with anchor count for image-filling
+        # objects at large imgsz (~4x the default budget at 640px)
         base = min(A, max(128, min(A // 16, 512)))
-        if n_pad is not None:
-            base = balance_cand(base, n_pad)
-        return base
-    return min(int(cand), A)  # explicit caps are honored exactly
+    else:
+        base = min(int(cand), A)
+    if n_pad is not None and balance:
+        base = balance_cand(base, n_pad)
+    return base
 
 
 def balance_cand(base: int, n_pad: int, floor: int = 48) -> int:
