@@ -46,7 +46,7 @@ def main(imgsz=640, batch=16, steps=40, n_imgs=128):
     tx = build_optimizer(variables["params"], cfg, steps_per_epoch=10, iterations=10 * steps)
     state = init_train_state(variables, tx)
     aug_fn = make_augment_fn(cfg, imgsz, cfg.max_instances, mesh=None)
-    step_fn = make_train_step(model, tx, cfg, cand="auto", augment_fn=aug_fn,
+    step_fn = make_train_step(model, tx, cfg, cand=128, augment_fn=aug_fn,
                               donate=True)
 
     it = iter(loader)
@@ -75,7 +75,7 @@ def main(imgsz=640, batch=16, steps=40, n_imgs=128):
         "batch": batch, "imgsz": imgsz, "steps": steps,
         "loss_first": round(loss0, 3), "loss_last": round(loss1, 3),
         "note": "full loop: RAM-cached decode+letterbox on host, uint8 H2D, "
-                "device-side augmentation + fused train step (cand=auto)",
+                "device-side augmentation + fused train step (cand=128)",
     }
     (ROOT / "runs" / "e2e_train_bench.json").write_text(json.dumps(rec, indent=2))
     print(json.dumps(rec))
