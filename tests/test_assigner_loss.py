@@ -271,3 +271,55 @@ def test_cand_cap_vs_exact_assignment_big_objects():
     tr_e = np.asarray(res[A].target_rays)[both]
     same_gt = np.asarray(res[128].target_gt_idx)[both] == np.asarray(res[A].target_gt_idx)[both]
     np.testing.assert_allclose(tr_c[same_gt], tr_e[same_gt], rtol=1e-4, atol=1e-3)
+
+
+def test_polar_assign_sparse_equals_dense():
+    """The candidate-space dedupe (impl='sparse', the default) must reproduce
+    the dense (B, N, A) scatter-back formulation exactly — including overlap
+    ties (duplicate GTs -> lowest GT index wins, matching jnp.argmax
+    first-occurrence order) and padded GT rows."""
+    rng = np.random.default_rng(7)
+    imgsz, nc = 64, 5
+    pts, st = anchors(imgsz)
+    A = pts.shape[0]
+    B, N = 3, 6
+    gt_labels = rng.integers(0, nc, (B, N)).astype(np.int32)
+    mask_gt = rng.uniform(size=(B, N)) < 0.7
+    mask_gt[2, :] = False  # one all-padding image
+    ctr = rng.uniform(16, 48, (B, N, 2))
+    rad = rng.uniform(6, 20, (B, N))
+    gt_bboxes = np.concatenate([ctr - rad[..., None], ctr + rad[..., None]], -1)
+    gt_contours = np.stack(
+        [[circle(*ctr[b, n], rad[b, n]) for n in range(N)] for b in range(B)]
+    )
+    # exact-tie case: GT 1 duplicates GT 0 in image 0
+    for arr in (gt_labels, gt_bboxes, gt_contours):
+        arr[0, 1] = arr[0, 0]
+    mask_gt[0, 0] = mask_gt[0, 1] = True
+    pd_scores = rng.uniform(0, 1, (B, A, nc)).astype(np.float32)
+    pd_rays = rng.uniform(1, 20, (B, A, 36)).astype(np.float32)
+
+    args = (
+        jnp.asarray(pd_scores), jnp.asarray(pd_rays), pts * st,
+        jnp.asarray(gt_labels), jnp.asarray(gt_bboxes, jnp.float32),
+        jnp.asarray(gt_contours, jnp.float32), jnp.asarray(mask_gt),
+    )
+    sp = polar_task_aligned_assign(*args, cand=32, impl="sparse")
+    de = polar_task_aligned_assign(*args, cand=32, impl="dense")
+    np.testing.assert_array_equal(np.asarray(sp.fg_mask), np.asarray(de.fg_mask))
+    assert np.asarray(sp.fg_mask).any()
+    np.testing.assert_array_equal(
+        np.asarray(sp.target_gt_idx)[np.asarray(sp.fg_mask)],
+        np.asarray(de.target_gt_idx)[np.asarray(de.fg_mask)],
+    )
+    np.testing.assert_array_equal(np.asarray(sp.target_labels * sp.fg_mask),
+                                  np.asarray(de.target_labels * de.fg_mask))
+    np.testing.assert_allclose(np.asarray(sp.target_scores),
+                               np.asarray(de.target_scores), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp.target_rays),
+                               np.asarray(de.target_rays), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sp.target_bboxes * sp.fg_mask[..., None]),
+                               np.asarray(de.target_bboxes * de.fg_mask[..., None]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp.centerness),
+                               np.asarray(de.centerness), atol=1e-6)

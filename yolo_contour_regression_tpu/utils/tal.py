@@ -134,7 +134,7 @@ def _normalized_target_scores(
 
 @partial(
     jax.jit,
-    static_argnames=("topk", "cand", "chunk"),
+    static_argnames=("topk", "cand", "chunk", "impl"),
 )
 def polar_task_aligned_assign(
     pd_scores: jnp.ndarray,  # (B, A, nc) sigmoid scores
@@ -149,6 +149,7 @@ def polar_task_aligned_assign(
     topk: int = 10,
     cand: int = 128,
     chunk: int = 4096,
+    impl: str = "sparse",
 ) -> AssignResult:
     B, A, nc = pd_scores.shape
     N = gt_labels.shape[1]
@@ -201,22 +202,72 @@ def polar_task_aligned_assign(
     mask_topk = _topk_mask(align_cand, topk, mask_gt[..., None] & (cand_key.max(-1, keepdims=True) >= 0))
     mask_pos_cand = (mask_topk & valid_cand).astype(dt)
 
-    # --- scatter candidate-space results to dense (B, N, A) -----------------
     b_ix = jnp.arange(B)[:, None, None]
-    n_ix = jnp.arange(N)[None, :, None]
-    zeros = jnp.zeros((B, N, A), dt)
-    overlaps_dense = zeros.at[b_ix, n_ix, cand_idx].max(overlaps_cand)
-    align_dense = zeros.at[b_ix, n_ix, cand_idx].max(align_cand)
-    mask_pos_dense = zeros.at[b_ix, n_ix, cand_idx].max(mask_pos_cand)
+    if impl == "dense":
+        # reference formulation: scatter candidate results to dense (B, N, A)
+        # maps, then dedupe/normalize there (reference tal.py
+        # select_highest_overlaps works dense). Kept for the equivalence test;
+        # ~8 (B, N, A) f32 intermediates make it the slow path.
+        n_ix = jnp.arange(N)[None, :, None]
+        zeros = jnp.zeros((B, N, A), dt)
+        overlaps_dense = zeros.at[b_ix, n_ix, cand_idx].max(overlaps_cand)
+        align_dense = zeros.at[b_ix, n_ix, cand_idx].max(align_cand)
+        mask_pos_dense = zeros.at[b_ix, n_ix, cand_idx].max(mask_pos_cand)
+        target_gt_idx, fg_mask, mask_final = _dedupe_by_overlap(
+            mask_pos_dense, overlaps_dense, N
+        )
+        mask_cand_final = (
+            jnp.take_along_axis(mask_final, cand_idx, axis=2) * mask_pos_cand
+        )
+        target_labels, target_scores = _normalized_target_scores(
+            gt_labels, target_gt_idx, fg_mask, align_dense, overlaps_dense,
+            mask_final, nc,
+        )
+    else:
+        # candidate-space dedupe: each (gt, anchor) pair lives at exactly one
+        # (b, n, k) slot (top_k indices are distinct per row), so the dense
+        # maps are redundant — resolve the per-anchor winner with (B, A)
+        # scatter-maxes over the B*N*K updates instead of materializing
+        # (B, N, A). Semantics identical to _dedupe_by_overlap +
+        # _normalized_target_scores: winner = claiming GT with max overlap,
+        # ties -> lowest GT index (jnp.argmax first-occurrence order).
+        claim = mask_pos_cand > 0  # (B, N, K)
+        n_col = jnp.broadcast_to(jnp.arange(N)[None, :, None], claim.shape)
+        gather_a = lambda d: jnp.take_along_axis(  # (B, A) -> (B, N, K)
+            d[:, None, :], cand_idx.reshape(B, 1, N * K), axis=2
+        ).reshape(B, N, K)  # works for float and int payloads alike
 
-    target_gt_idx, fg_mask, mask_final = _dedupe_by_overlap(
-        mask_pos_dense, overlaps_dense, N
-    )
+        best_ov = jnp.zeros((B, A), dt).at[b_ix, cand_idx].max(
+            jnp.where(claim, overlaps_cand, 0.0)
+        )
+        fg_mask = best_ov > 0
+        # scatter passes values through unchanged -> float equality is exact
+        is_best = claim & (overlaps_cand >= gather_a(best_ov))
+        best_n = jnp.full((B, A), N, jnp.int32).at[b_ix, cand_idx].min(
+            jnp.where(is_best, n_col, N)
+        )
+        winner = (is_best & (n_col == gather_a(best_n))).astype(dt)
+        target_gt_idx = jnp.where(fg_mask, best_n, 0)
+
+        # per-GT normalizers over that GT's WINNING anchors (reference
+        # tal.py:1199-1208), then one scatter-max lands the per-anchor score
+        row_al_max = (align_cand * winner).max(-1)  # (B, N)
+        row_ov_max = (overlaps_cand * winner).max(-1)
+        norm_val = align_cand * winner * (
+            row_ov_max / (row_al_max + EPS)
+        )[..., None]
+        norm = jnp.zeros((B, A), dt).at[b_ix, cand_idx].max(norm_val)
+
+        target_labels = jnp.clip(
+            jnp.take_along_axis(gt_labels, target_gt_idx, axis=1), 0, None
+        )
+        onehot = jax.nn.one_hot(target_labels, nc, dtype=dt) * fg_mask[..., None]
+        target_scores = onehot * norm[..., None]
+        mask_cand_final = winner
 
     # --- per-anchor targets --------------------------------------------------
     # scatter-add GT rays of the surviving (gt, anchor) pairs; dedupe ensures
     # <=1 contributing pair per anchor so add == select
-    mask_cand_final = jnp.take_along_axis(mask_final, cand_idx, axis=2) * mask_pos_cand
     ray_zeros = jnp.zeros((B, A, polar_ops.NUM_RAYS), dt)
     target_rays = ray_zeros.at[b_ix, cand_idx].add(
         gt_rays_cand * mask_cand_final[..., None]
@@ -226,9 +277,6 @@ def polar_task_aligned_assign(
 
     target_bboxes = jnp.take_along_axis(
         gt_bboxes, target_gt_idx[..., None], axis=1
-    )
-    target_labels, target_scores = _normalized_target_scores(
-        gt_labels, target_gt_idx, fg_mask, align_dense, overlaps_dense, mask_final, nc
     )
     return AssignResult(
         target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx,
