@@ -114,3 +114,43 @@ def test_tflite_int8_and_fp16_export(tmp_path):
         # compare on the box rows (well-scaled); int8 gets a loose band
         err = np.abs(out[:, :4] - want[:, :4]).mean() / (np.abs(want[:, :4]).mean() + 1e-6)
         assert err < tol, (pth, err)
+
+
+def test_vendor_format_raises_with_recipe():
+    """The reference's 13-format table is fully accepted: formats whose
+    vendor toolchains are absent from this image raise with the documented
+    offline recipe built on an artifact THIS exporter produces (reference
+    engine/exporter.py export_formats)."""
+    from yolo_contour_regression_tpu import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    for fmt, needle in (
+        ("engine", "trtexec"),
+        ("coreml", "coremltools"),
+        ("paddle", "x2paddle"),
+        ("ncnn", "onnx2ncnn"),
+        ("torchscript", "stablehlo"),
+        ("tfjs", "tensorflowjs"),
+        ("openvino", "openvino"),
+    ):
+        with pytest.raises(NotImplementedError, match=needle):
+            m.export(format=fmt, imgsz=64)
+    with pytest.raises(ValueError, match="not in"):
+        m.export(format="not_a_format", imgsz=64)
+
+
+@pytest.mark.heavy
+def test_pb_frozen_graph_export(tmp_path):
+    """pb = frozen TF GraphDef (reference exporter.py export_pb): the file
+    loads as a GraphDef and contains the graph constants."""
+    from yolo_contour_regression_tpu import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    p = m.export(format="pb", imgsz=64, project=str(tmp_path))
+    assert p.endswith(".pb") and Path(p).exists()
+
+    import tensorflow as tf
+
+    gd = tf.compat.v1.GraphDef()
+    gd.ParseFromString(Path(p).read_bytes())
+    assert len(gd.node) > 50

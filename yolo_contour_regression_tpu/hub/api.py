@@ -6,12 +6,11 @@ from __future__ import annotations
 
 from pathlib import Path
 
+from ..engine.exporter import EXPORT_FORMATS
 from ..utils import LOGGER
 from .session import HUB_DIR
 
 PREFIX = "hub: "
-
-EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite", "onnx")
 
 
 def start(key: str = ""):
