@@ -47,6 +47,13 @@ TASKS = {
         "yolov8n-cls.yaml", make_cls_dataset,
         {"metrics/accuracy_top1": "accuracy_top1"},
     ),
+    # v8-CSP backbone + RT-DETR decoder at scale n (reference
+    # cfg/models/v8/yolov8-rtdetr.yaml): evidences the deformable-decoder +
+    # Hungarian/CDN loss family trains end-to-end, not just that grads flow
+    "rtdetr": (
+        "yolov8n-rtdetr.yaml", make_shape_dataset,
+        {"metrics/mAP50-95(B)": "box_mAP50-95"},
+    ),
 }
 
 
@@ -80,7 +87,13 @@ def main(task="segment", epochs=150, imgsz=96, n_train=64, n_val=16, out=None):
         patience=max(epochs, 50),
         plots=task != "classify",
     )
-    if task != "classify":
+    if task == "rtdetr":
+        # DETR-family standard recipe: AdamW at a transformer-scale lr; mosaic
+        # off (the 300-query decoder overfits tiny synthetic sets fastest on
+        # clean singles)
+        kw.update(optimizer="AdamW", lr0=2e-4, warmup_epochs=2.0,
+                  mosaic=0.0, close_mosaic=0)
+    elif task != "classify":
         kw["close_mosaic"] = max(epochs // 4, 5)
     else:
         # the fork's classify loss is CE summed / 64 (loss.py:1107): at batch

@@ -94,6 +94,23 @@ def test_committed_classify_floor(tmp_path):
 
 
 @pytest.mark.slow
+def test_committed_rtdetr_floor(tmp_path):
+    """RT-DETR family training quality: deformable decoder + Hungarian/CDN
+    loss trained end-to-end on the synthetic shapes set."""
+    _floor_case("rtdetr", "rtdetr", "make_shape_dataset", tmp_path)
+
+
+@pytest.mark.slow
+def test_committed_devaug_floor(tmp_path):
+    """Device-side-augmentation training quality: the checkpoint under
+    runs/floor_devaug/ was trained with device_augment=true (mosaic/affine/
+    HSV/flips inside the jitted step) on a 64-image val set — a regression in
+    data/device_augment.py geometry shows up here as a quality drop even when
+    every op still returns finite values."""
+    _floor_case("segment", "devaug", "make_shape_dataset", tmp_path)
+
+
+@pytest.mark.slow
 def test_committed_seg160_floor(tmp_path):
     """Reference-CI-protocol floor: segment at imgsz 160 (the imgsz the
     reference benchmark job uses, ci.yaml:126-137; bar there: seg >= 0.30)."""

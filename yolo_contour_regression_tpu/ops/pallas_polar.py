@@ -159,9 +159,11 @@ def _gt_rays_kernel3(flag_ref, cx_ref, cy_ref, ctr_ref, out_ref, diff_ref,
 
     @pl.when(any_valid > 0)
     def _active():
-        theta_row = (
-            jax.lax.broadcasted_iota(jnp.int32, (_ROWS3, NUM_CONTOUR_POINTS), 0)
-            % NUM_RAYS
+        # per-pair setup writes the WRAPPED angular difference directly
+        # ((36, 360) slices) — one pass, vs storing raw angles and
+        # re-walking the full (288, 360) matrix to wrap them
+        theta36 = jax.lax.broadcasted_iota(
+            jnp.int32, (NUM_RAYS, NUM_CONTOUR_POINTS), 0
         ).astype(jnp.float32) * RAY_STEP_DEG
 
         cx_row = cx_ref[pl.ds(sub, 1), :]  # (1, 360)
@@ -173,15 +175,15 @@ def _gt_rays_kernel3(flag_ref, cx_ref, cy_ref, ctr_ref, out_ref, diff_ref,
             ang = jnp.where(ang < 0, ang + 360.0, ang)
             d = jnp.sqrt(vx * vx + vy * vy)
             lo = j * NUM_RAYS
-            diff_ref[lo : lo + NUM_RAYS, :] = jnp.broadcast_to(
-                ang, (NUM_RAYS, NUM_CONTOUR_POINTS)
+            dj = jnp.abs(
+                jnp.broadcast_to(ang, (NUM_RAYS, NUM_CONTOUR_POINTS)) - theta36
             )
+            diff_ref[lo : lo + NUM_RAYS, :] = jnp.where(dj > 180.0, 360.0 - dj, dj)
             dist_ref[lo : lo + NUM_RAYS, :] = jnp.broadcast_to(
                 d, (NUM_RAYS, NUM_CONTOUR_POINTS)
             )
 
-        diff = jnp.abs(diff_ref[...] - theta_row)
-        diff = jnp.where(diff > 180.0, 360.0 - diff, diff)
+        diff = diff_ref[...]
         dist_b = dist_ref[...]
 
         def sweep(k, carry):

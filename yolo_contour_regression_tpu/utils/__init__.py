@@ -30,6 +30,31 @@ def _setup_logger(name: str = LOGGING_NAME, verbose: bool = True) -> logging.Log
 LOGGER = _setup_logger()
 
 
+def _enable_xla_compile_cache():
+    """Persistent XLA executable cache: on tunneled-TPU hosts the first
+    compile of the full train/val graph is 20-40s+ — caching it on disk makes
+    every re-run (bench re-invocations, floor retrains, fresh processes) skip
+    straight to execution. Opt out with YCR_COMPILE_CACHE_DIR=0."""
+    import os
+
+    d = os.environ.get("YCR_COMPILE_CACHE_DIR")
+    if d == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            d or str(Path.home() / ".cache" / "ycr_xla_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # never let cache plumbing break imports
+        pass
+
+
+_enable_xla_compile_cache()
+
+
 def colorstr(*args):
     """ANSI color helper (reference utils/__init__.py colorstr)."""
     *colors, string = args if len(args) > 1 else ("blue", "bold", args[0])
