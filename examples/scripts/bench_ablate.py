@@ -39,23 +39,26 @@ def measure(batch: int) -> dict:
     variables, model = fuse_variables(model, variables)
 
     rng = np.random.default_rng(0)
+    # raw/x0 MUST be jit arguments, never closed over: a closed-over batch
+    # tensor is baked into the HLO as a constant, and at 640px batches the
+    # tunneled remote-compile request rejects the body (HTTP 413)
     raw = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
     x0 = raw.astype(dtype) / 255.0
 
-    def stage_model(variables, raw, acc):
+    def stage_model(variables, raw, x0, acc):
         outs = model.raw_forward(variables, x0 + (acc * 1e-12).astype(dtype), train=False)
         return sum(o.astype(jnp.float32).sum() for o in outs)
 
-    def stage_decode(variables, raw, acc):
+    def stage_decode(variables, raw, x0, acc):
         pred = model.predict(variables, x0 + (acc * 1e-12).astype(dtype))
         return pred.astype(jnp.float32).sum()
 
-    def stage_pre(variables, raw, acc):
+    def stage_pre(variables, raw, x0, acc):
         x = raw.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
         pred = model.predict(variables, x)
         return pred.astype(jnp.float32).sum()
 
-    def stage_full(variables, raw, acc):
+    def stage_full(variables, raw, x0, acc):
         x = raw.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
         pred = model.predict(variables, x)
         out = non_max_suppression(
@@ -69,17 +72,17 @@ def measure(batch: int) -> dict:
     row = {"batch": batch}
     for name, fn in stages.items():
         @partial(jax.jit, static_argnames=("n",))
-        def loop(variables, raw, n, fn=fn):
+        def loop(variables, raw, x0, n, fn=fn):
             def body(i, acc):
-                return fn(variables, raw, acc)
+                return fn(variables, raw, x0, acc)
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
         def timed(n):
-            float(loop(variables, raw, n))
+            float(loop(variables, raw, x0, n))
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(loop(variables, raw, n))
+                float(loop(variables, raw, x0, n))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 

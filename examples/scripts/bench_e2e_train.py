@@ -18,6 +18,17 @@ import numpy as np
 
 
 def main(imgsz=640, batch=16, steps=40, n_imgs=128):
+    rows = [run_one(imgsz, batch, steps, n_imgs, cache)
+            for cache in ("device", "ram")]
+    rec = {"rows": rows,
+           "note": "cache='device': HBM-resident image pool, on-device gather "
+                   "per step; cache='ram': host decode cache + per-step H2D "
+                   "(through the TPU tunnel on this host)"}
+    (ROOT / "runs" / "e2e_train_bench.json").write_text(json.dumps(rec, indent=2))
+    print(json.dumps(rec))
+
+
+def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram"):
     from tests.helpers import make_shape_dataset
     from yolo_contour_regression_tpu.cfg import get_cfg
     from yolo_contour_regression_tpu.data.build import build_dataloader, build_yolo_dataset
@@ -32,7 +43,7 @@ def main(imgsz=640, batch=16, steps=40, n_imgs=128):
     ds_dir = ROOT / "runs" / "e2e_train_ds"
     yaml_path = make_shape_dataset(ds_dir, n_train=n_imgs, n_val=4, imgsz=1280, seed=0)
     data = check_det_dataset(str(yaml_path))
-    cfg = get_cfg(dict(task="segment", imgsz=imgsz, batch=batch, cache="ram",
+    cfg = get_cfg(dict(task="segment", imgsz=imgsz, batch=batch, cache=cache,
                        device_augment=True, max_instances=16, nbs=batch))
     train_set = build_yolo_dataset(cfg, data["train"], batch, data, mode="train")
     loader = build_dataloader(train_set, batch, workers=2, shuffle=True, mode="train")
@@ -70,15 +81,14 @@ def main(imgsz=640, batch=16, steps=40, n_imgs=128):
     dt = time.perf_counter() - t0
     imgs_per_sec = steps * batch / dt
     rec = {
+        "cache": cache,
         "imgs_per_sec": round(imgs_per_sec, 1),
         "ms_per_step": round(dt / steps * 1e3, 1),
         "batch": batch, "imgsz": imgsz, "steps": steps,
         "loss_first": round(loss0, 3), "loss_last": round(loss1, 3),
-        "note": "full loop: RAM-cached decode+letterbox on host, uint8 H2D, "
-                "device-side augmentation + fused train step (cand=128)",
     }
-    (ROOT / "runs" / "e2e_train_bench.json").write_text(json.dumps(rec, indent=2))
     print(json.dumps(rec))
+    return rec
 
 
 if __name__ == "__main__":

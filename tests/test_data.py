@@ -268,3 +268,52 @@ def test_rect_val_batches_and_map_equivalence(tmp_path):
                    project=str(tmp_path / "runs_sq"))
     # untrained model: both near zero, but the pipeline must agree closely
     assert abs(res_rect["metrics/mAP50-95(M)"] - res_sq["metrics/mAP50-95(M)"]) < 0.05
+
+
+def test_device_pool_loader(dataset_dir):
+    """cache='device': the image set is staged on-device once and batches
+    gather by index there — 'img' arrives as a committed jax array with the
+    same contents the host path would produce for the same index."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.data.build import (
+        DevicePoolLoader, build_dataloader, build_yolo_dataset,
+    )
+    from yolo_contour_regression_tpu.data.utils import check_det_dataset
+
+    data = check_det_dataset(str(dataset_dir / "data.yaml"))
+    cfg = get_cfg(dict(task="segment", imgsz=64, batch=2, cache="device",
+                       device_augment=True, max_instances=8))
+    ds = build_yolo_dataset(cfg, data["train"], 2, data, mode="train")
+    loader = build_dataloader(ds, 2, workers=1, shuffle=True, mode="train")
+    assert isinstance(loader, DevicePoolLoader)
+
+    it = iter(loader)
+    seen = [next(it) for _ in range(4)]  # crosses an epoch boundary
+    for b in seen:
+        assert isinstance(b["img"], jax.Array)
+        assert b["img"].shape == (2, 64, 64, 3) and b["img"].dtype == jnp.uint8
+        assert b["segments"].shape[2:] == (360, 2)
+    # pool contents match the host path for the same index
+    want = ds[0]["img"]
+    got = np.asarray(loader._take(loader.images, jnp.asarray([0])))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_pool_fallback_without_device_augment(dataset_dir, caplog):
+    """cache='device' without the device-augment path falls back loudly to
+    the thread loader instead of silently training uncached."""
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.data.build import (
+        DataLoader as ThreadLoader, build_dataloader, build_yolo_dataset,
+    )
+    from yolo_contour_regression_tpu.data.utils import check_det_dataset
+
+    data = check_det_dataset(str(dataset_dir / "data.yaml"))
+    cfg = get_cfg(dict(task="segment", imgsz=64, batch=2, cache="device",
+                       device_augment=False, max_instances=8))
+    ds = build_yolo_dataset(cfg, data["train"], 2, data, mode="train")
+    loader = build_dataloader(ds, 2, workers=1, shuffle=True, mode="train")
+    assert isinstance(loader, ThreadLoader)

@@ -153,6 +153,70 @@ class DataLoader:
                 t.join(timeout=2.0)
 
 
+class DevicePoolLoader:
+    """``cache='device'``: the image set lives in HBM, batches gather on-device.
+
+    The device-augmentation train path's host output per index (decode +
+    letterbox, ``format_sample_raw``) is DETERMINISTIC, so the whole uint8
+    image set can be staged on the accelerator once. Each batch is then an
+    on-device ``pool[idx]`` gather: the steady-state host->device transfer per
+    step is the label dict (KBs), not the image batch (MBs) — on TPU hosts
+    where H2D rides a tunnel or a thin PCIe link, a 640px batch-16 upload
+    costs more than the train step itself (runs/e2e_train_bench.json).
+
+    Yields the same batch dicts as ``DataLoader`` except ``img`` is already a
+    committed device array. Labels are collated on host with the same
+    instance-bucketing as the thread loader (``augment.collate``).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, process_index: int = 0, process_count: int = 1,
+                 chunk: int = 64):
+        import jax
+        import jax.numpy as jnp
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = random.Random(seed)
+        idxs = list(range(len(dataset)))[process_index::process_count]
+        self.labels: list = []
+        chunks, buf = [], []
+        for i in idxs:
+            s = dataset[i]
+            buf.append(s.pop("img"))
+            self.labels.append(s)
+            if len(buf) == chunk:
+                chunks.append(jax.device_put(np.stack(buf)))
+                buf = []
+        if buf:
+            chunks.append(jax.device_put(np.stack(buf)))
+        self.images = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        self._take = jax.jit(lambda pool, idx: pool[idx])
+
+    @staticmethod
+    def pool_bytes(dataset) -> int:
+        s = int(getattr(dataset, "imgsz", 640))
+        return len(dataset) * s * s * 3
+
+    def __len__(self):
+        return len(self.labels) // self.batch_size
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        P = len(self.labels)
+        while True:
+            order = list(range(P))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for i in range(0, P - self.batch_size + 1, self.batch_size):
+                sel = order[i : i + self.batch_size]
+                b = collate([self.labels[j] for j in sel])
+                b["img"] = self._take(self.images, jnp.asarray(sel, jnp.int32))
+                yield b
+
+
 def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train"):
     """(reference data/build.py:72 build_yolo_dataset)."""
     augment = mode == "train"
@@ -189,6 +253,9 @@ def use_device_augment(cfg) -> bool:
     )
 
 
+DEVICE_POOL_MAX_BYTES = 6 * 1024**3  # leave HBM headroom for the train step
+
+
 def build_dataloader(dataset, batch: int, workers: int, shuffle: bool, mode: str = "train", seed: int = 0):
     import jax
 
@@ -196,6 +263,32 @@ def build_dataloader(dataset, batch: int, workers: int, shuffle: bool, mode: str
         pidx, pcount = jax.process_index(), jax.process_count()
     except RuntimeError:
         pidx, pcount = 0, 1
+    if (
+        mode == "train"
+        and getattr(dataset, "cache_images", "") == "device"
+        and getattr(dataset, "device_augment", False)
+    ):
+        need = DevicePoolLoader.pool_bytes(dataset)
+        if need <= DEVICE_POOL_MAX_BYTES:
+            return DevicePoolLoader(
+                dataset, batch, shuffle=shuffle, seed=seed,
+                process_index=pidx, process_count=pcount,
+            )
+        from ..utils import LOGGER
+
+        LOGGER.warning(
+            f"cache='device': image pool needs {need / 1e9:.1f} GB "
+            f"(> {DEVICE_POOL_MAX_BYTES / 1e9:.0f} GB HBM budget) — falling "
+            "back to the host thread loader (no cache)"
+        )
+    elif mode == "train" and getattr(dataset, "cache_images", "") == "device":
+        from ..utils import LOGGER
+
+        LOGGER.warning(
+            "cache='device' needs the device-augmentation train path "
+            "(device_augment=true without mosaic9/copy_paste) — falling back "
+            "to the host thread loader (no cache)"
+        )
     return DataLoader(
         dataset,
         batch_size=batch,

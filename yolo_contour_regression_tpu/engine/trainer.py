@@ -25,6 +25,7 @@ from pathlib import Path
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..cfg import get_cfg
@@ -270,6 +271,10 @@ class BaseTrainer:
             for i in range(steps_per_epoch):
                 if accumulate > 1:
                     micro = [next(data_iter) for _ in range(accumulate)]
+                    # img popped FIRST: with cache='device' it is a committed
+                    # device array — np.stack on it would silently read the
+                    # whole batch back to host
+                    imgs = [m.pop("img") for m in micro]
                     # instance-axis buckets can differ across micro-batches
                     # (data/augment.py collate); re-pad to the max bucket
                     if "mask_gt" in micro[0]:
@@ -286,9 +291,9 @@ class BaseTrainer:
                                             + [(0, 0)] * (m[k].ndim - 2),
                                         )
                     batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
-                    images = batch.pop("img")
+                    images = (np if isinstance(imgs[0], np.ndarray) else jnp).stack(imgs)
                     pbatch = dict(micro[0])
-                    pimg = pbatch.pop("img")
+                    pimg = imgs[0]
                 else:
                     batch = next(data_iter)
                     images = batch.pop("img")

@@ -104,9 +104,13 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a pytree of host arrays with dim-0 sharded over 'batch'."""
+    """Place a pytree of arrays with dim-0 sharded over 'batch'. Arrays that
+    already live on device (cache='device' image pool gathers) are resharded
+    in place — np.asarray on them would silently read the batch back to
+    host first."""
     def put(x):
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         return jax.device_put(
             x, NamedSharding(mesh, P("batch", *([None] * (x.ndim - 1))))
         )
@@ -120,7 +124,8 @@ def shard_microbatches(mesh: Mesh, tree):
     so ``lax.scan`` over dim 0 never scans across devices."""
 
     def put(x):
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         return jax.device_put(
             x, NamedSharding(mesh, P(None, "batch", *([None] * (x.ndim - 2))))
         )
