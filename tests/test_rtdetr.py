@@ -51,6 +51,43 @@ def test_hungarian_assign_unique():
     np.testing.assert_array_equal(a[0], want)
 
 
+def test_hungarian_assign_optimal_vs_scipy_oracle():
+    """The in-graph auction solve (no host callback — the TPU backend has
+    none) must match scipy's optimal assignment cost on realistic geometries,
+    including crowd scenes where near-duplicate gts contest the same
+    queries."""
+    from scipy.optimize import linear_sum_assignment
+
+    from yolo_contour_regression_tpu.models.utils.loss import hungarian_assign
+
+    rng = np.random.default_rng(7)
+    Q, G = 300, 48
+
+    def crowd_cost():
+        centers = np.repeat(rng.uniform(0, 1, (G // 4, 4)), 4, axis=0)
+        qpred = centers[rng.integers(0, G, Q)] + rng.normal(0, 0.02, (Q, 4))
+        return (np.abs(qpred[:, None, :] - centers[None, :, :]).sum(-1) * 5)
+
+    costs, n_valid = [], []
+    for kind in range(4):
+        c = rng.uniform(0, 10, (Q, G)) if kind % 2 == 0 else crowd_cost()
+        g = int(rng.integers(1, G + 1))
+        c[:, g:] = 1e6  # padded-gt columns, like match_cost
+        costs.append(c.astype(np.float32))
+        n_valid.append(g)
+    out = np.asarray(
+        hungarian_assign(jnp.asarray(np.stack(costs)), jnp.asarray(n_valid))
+    )
+    for c, g, a in zip(costs, n_valid, out):
+        assert (a[g:] == -1).all()
+        sel = a[:g]
+        assert (sel >= 0).all() and len(set(sel.tolist())) == g
+        mine = c[sel, np.arange(g)].sum()
+        rows, cols = linear_sum_assignment(c[:, :g])
+        opt = c[rows, cols].sum()
+        assert mine <= opt * (1 + 1e-4) + 1e-4, (mine, opt)
+
+
 @pytest.mark.heavy
 def test_rtdetr_loss_and_grads(rtdetr):
     m, v = rtdetr

@@ -216,6 +216,48 @@ class DevicePoolLoader:
                 b["img"] = self._take(self.images, jnp.asarray(sel, jnp.int32))
                 yield b
 
+    def superbatches(self, k: int):
+        """Yield ``(idxs (kk, B) int32, labels {key: (kk, B, ...)})`` groups
+        for the multi-step-per-dispatch train path
+        (engine/step.py make_multi_train_step).
+
+        Each epoch emits ``steps // k`` full groups then one remainder group
+        (so a consumer chunking ``len(self)`` steps by ``k`` sees matching
+        shapes — at most two compiled variants). Labels are collated without
+        per-batch instance bucketing, then the whole group is trimmed to the
+        smallest shared bucket, keeping the assigner's shape-driven cost
+        bounded the same way the per-batch loader does (augment.collate)."""
+        from .augment import INSTANCE_BUCKETS
+
+        B = self.batch_size
+        P_ = len(self.labels)
+        steps = P_ // B
+        while True:
+            order = list(range(P_))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            sels = [order[i * B : (i + 1) * B] for i in range(steps)]
+            groups = [sels[j : j + k] for j in range(0, steps, k)]
+            for group in groups:
+                labs = [
+                    collate([self.labels[j] for j in sel], bucket_instances=False)
+                    for sel in group
+                ]
+                stacked = {key: np.stack([l[key] for l in labs]) for key in labs[0]}
+                if "mask_gt" in stacked:
+                    n_pad = stacked["mask_gt"].shape[2]
+                    n_act = int(stacked["mask_gt"].sum(axis=2).max()) if stacked["mask_gt"].size else 0
+                    cap = n_pad
+                    for b in INSTANCE_BUCKETS:
+                        if n_act <= b < n_pad:
+                            cap = b
+                            break
+                    if cap < n_pad:
+                        for key in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
+                            if key in stacked and stacked[key].ndim >= 3 and stacked[key].shape[2] == n_pad:
+                                stacked[key] = stacked[key][:, :, :cap]
+                yield np.asarray(group, np.int32), stacked
+
 
 def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train"):
     """(reference data/build.py:72 build_yolo_dataset)."""

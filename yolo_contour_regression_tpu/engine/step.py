@@ -92,28 +92,21 @@ def make_loss_fn(model, hyp, cand: int = 128) -> Callable:
     return loss_fn
 
 
-def make_train_step(
+def _make_step_body(
     model,
     tx: optax.GradientTransformation,
     hyp,
     cand: int = 128,
     accumulate: int = 1,
-    mesh=None,
-    donate: bool = True,
     augment_fn=None,
     aug_seed: int = 0,
 ):
-    """Build the jitted step fn: (state, images, batch) -> (state, metrics).
+    """The unjitted step: (state, images, batch) -> (state, metrics).
 
-    With a mesh, inputs are expected batch-sharded and state replicated; the
-    same compiled fn covers 1..N chips (mesh of 1 == single-device).
-
-    ``augment_fn`` (data/device_augment.make_augment_fn) folds the device-side
-    train augmentation into the SAME compiled program: raw uint8 letterboxed
-    batches come off the host, mosaic/warp/mixup/HSV/flips run on device and
-    XLA overlaps them with the conv graph. Randomness is derived from
-    (aug_seed, state.step[, micro index]) so steps are reproducible and
-    resume-stable.
+    Shared by ``make_train_step`` (one jitted dispatch per step) and
+    ``make_multi_train_step`` (``lax.scan`` over K steps per dispatch), so
+    both paths are numerically identical — augmentation randomness is keyed
+    off ``state.step``, which the scan carries exactly like the host loop.
     """
     loss_fn = make_loss_fn(model, hyp, cand=cand)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -170,11 +163,97 @@ def make_train_step(
         metrics["loss"] = total
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    hyp,
+    cand: int = 128,
+    accumulate: int = 1,
+    mesh=None,
+    donate: bool = True,
+    augment_fn=None,
+    aug_seed: int = 0,
+):
+    """Build the jitted step fn: (state, images, batch) -> (state, metrics).
+
+    With a mesh, inputs are expected batch-sharded and state replicated; the
+    same compiled fn covers 1..N chips (mesh of 1 == single-device).
+
+    ``augment_fn`` (data/device_augment.make_augment_fn) folds the device-side
+    train augmentation into the SAME compiled program: raw uint8 letterboxed
+    batches come off the host, mosaic/warp/mixup/HSV/flips run on device and
+    XLA overlaps them with the conv graph. Randomness is derived from
+    (aug_seed, state.step[, micro index]) so steps are reproducible and
+    resume-stable.
+    """
+    step_fn = _make_step_body(
+        model, tx, hyp, cand=cand, accumulate=accumulate,
+        augment_fn=augment_fn, aug_seed=aug_seed,
+    )
     # GSPMD: with a mesh, the caller places `state` replicated
     # (parallel.replicate_tree) and `images`/`batch` batch-sharded
     # (parallel.shard_batch); jit propagates those shardings and XLA inserts
     # the gradient all-reduce over ICI. Single device needs no placement.
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    hyp,
+    cand: int = 128,
+    mesh=None,
+    donate: bool = True,
+    augment_fn=None,
+    aug_seed: int = 0,
+):
+    """K optimizer steps in ONE device dispatch.
+
+    ``(state, pool, idxs, labels) -> (state, metrics)`` where ``pool`` is the
+    HBM-resident uint8 image set (data/build.py DevicePoolLoader), ``idxs`` is
+    ``(K, B)`` int32 sample indices and ``labels`` a dict of ``(K, B, ...)``
+    stacked label arrays. A ``lax.scan`` gathers each step's image batch from
+    the pool on-device, runs augmentation + the fused train step, and carries
+    the updated state — the host uploads only indices + labels (KBs) and pays
+    ONE dispatch round-trip per K steps.
+
+    Why: on hosts where the accelerator sits behind a high-latency link (the
+    tunneled-TPU deployment this repo targets), per-step dispatch costs
+    ~650 ms while the step itself is ~30 ms (runs/e2e_train_bench.json) — the
+    reference's per-step Python loop (trainer.py:330-377) is the wrong shape
+    for that topology. Amortizing K steps per dispatch makes real training
+    compute-bound. Metrics come back stacked ``(K,)`` per item.
+    """
+    body = _make_step_body(
+        model, tx, hyp, cand=cand, accumulate=1,
+        augment_fn=augment_fn, aug_seed=aug_seed,
+    )
+    batch_sharding = None
+    if mesh is not None and "batch" in mesh.axis_names and mesh.shape["batch"] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("batch"))
+
+    def multi_fn(state: TrainState, pool, idxs, labels):
+        def scan_body(st, xs):
+            idx, lab = xs
+            imgs = jnp.take(pool, idx, axis=0)
+            if batch_sharding is not None:
+                # pool + idx are replicated; re-shard the gathered batch so
+                # augment + step run data-parallel exactly like the
+                # one-dispatch-per-step path
+                imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
+            st, metrics = body(st, imgs, lab)
+            return st, metrics
+
+        return jax.lax.scan(scan_body, state, (idxs, labels))
+
+    # donate the state (argnum 0) but never the pool: it must survive across
+    # dispatches for the whole run
+    return jax.jit(multi_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, mesh=None):

@@ -37,7 +37,12 @@ from ..parallel import shard_batch
 from ..utils import LOGGER, colorstr
 from ..utils.checkpoint import save_checkpoint, load_checkpoint, strip_optimizer
 from ..utils.optim import build_optimizer
-from .step import TrainState, init_train_state, make_train_step
+from .step import (
+    TrainState,
+    init_train_state,
+    make_multi_train_step,
+    make_train_step,
+)
 
 
 class EarlyStopping:
@@ -231,7 +236,37 @@ class BaseTrainer:
                 augment_fn=augment_fn, aug_seed=args.seed,
             )
 
-        step_fn = build_step(aug_fn)
+        # multi-step-per-dispatch (engine/step.py make_multi_train_step):
+        # with the image pool in HBM (cache='device') and device-side
+        # augmentation, K optimizer steps run as one lax.scan dispatch — the
+        # dominant per-step cost on a tunneled-TPU host is the dispatch
+        # round-trip (runs/e2e_train_bench.json: ~650 ms dispatch vs ~30 ms
+        # step), and this amortizes it K-fold
+        from ..data.build import DevicePoolLoader
+
+        spd = getattr(args, "steps_per_dispatch", "auto")
+        if spd in ("auto", None, 0, "0", ""):
+            K = min(steps_per_epoch, 32)
+        else:
+            K = max(1, min(int(spd), steps_per_epoch))
+        multistep = (
+            K > 1 and accumulate == 1 and raw_mode
+            and isinstance(loader, DevicePoolLoader)
+        )
+
+        def build_multi(augment_fn):
+            return make_multi_train_step(
+                self.model, tx, args, cand=getattr(args, "cand_per_gt", 128),
+                mesh=mesh, donate=bool(getattr(args, "donate", True)),
+                augment_fn=augment_fn, aug_seed=args.seed,
+            )
+
+        step_fn = None if multistep else build_step(aug_fn)
+        multi_fn = build_multi(aug_fn) if multistep else None
+        super_iter = iter(loader.superbatches(K)) if multistep else None
+        self.used_multistep = bool(multistep)
+        if multistep:
+            LOGGER.info(f"multi-step dispatch: {K} optimizer steps per device call")
 
         validator = self.get_validator() if args.val else None
         stopper = EarlyStopping(args.patience)
@@ -262,12 +297,53 @@ class BaseTrainer:
                     hyp_nm = _copy(args)
                     hyp_nm.mosaic = 0.0
                     hyp_nm.mixup = 0.0
-                    step_fn = build_step(make_augment_fn(
+                    aug_nm = make_augment_fn(
                         hyp_nm, args.imgsz,
                         getattr(args, "max_instances", 48), mesh=mesh,
-                    ))
+                    )
+                    if multistep:
+                        multi_fn = build_multi(aug_nm)
+                    else:
+                        step_fn = build_step(aug_nm)
             epoch_metrics: Dict[str, float] = {}
             t0 = time.time()
+            if multistep:
+                done = 0
+                while done < steps_per_epoch:
+                    idxs, labels = next(super_iter)
+                    if args.plots and not first_batch_plotted and args.task != "classify":
+                        from ..utils.plotting import plot_images
+
+                        pimg = np.asarray(loader.images[jnp.asarray(idxs[0])])
+                        pimg = pimg[..., ::-1].astype(np.float32) / 255.0
+                        plot_images(
+                            pimg, {k: v[0] for k, v in labels.items()},
+                            fname=str(self.save_dir / "train_batch0.jpg"),
+                            names=data.get("names"),
+                        )
+                        first_batch_plotted = True
+                    state, smetrics = multi_fn(state, loader.images, idxs, labels)
+                    done += idxs.shape[0]
+                losses = np.asarray(smetrics["loss"])
+                if not np.isfinite(losses).all():
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch}: {losses.tolist()}"
+                    )
+                epoch_metrics = {k: float(np.asarray(v)[-1]) for k, v in smetrics.items()}
+                dt = time.time() - t0
+                log = {f"train/{k}": v for k, v in epoch_metrics.items()}
+                LOGGER.info(
+                    f"epoch {epoch + 1}/{args.epochs}  "
+                    + "  ".join(f"{k.split('/')[-1]} {v:.3f}" for k, v in log.items())
+                    + f"  ({dt:.1f}s)"
+                )
+                fitness = self._epoch_tail(state, epoch, log, validator, data)
+                if stopper(epoch, fitness):
+                    LOGGER.info(
+                        f"early stopping at epoch {epoch + 1} (patience {args.patience})"
+                    )
+                    break
+                continue
             for i in range(steps_per_epoch):
                 if accumulate > 1:
                     micro = [next(data_iter) for _ in range(accumulate)]
@@ -301,6 +377,8 @@ class BaseTrainer:
                 if args.plots and not first_batch_plotted and args.task != "classify":
                     from ..utils.plotting import plot_images
 
+                    # device-pool batches arrive as jax arrays; cv2 needs numpy
+                    pimg = np.asarray(pimg)
                     if pimg.dtype == np.uint8:  # raw device-aug batch: BGR u8
                         pimg = pimg[..., ::-1].astype(np.float32) / 255.0
                     plot_images(
@@ -333,34 +411,7 @@ class BaseTrainer:
                 + f"  ({dt:.1f}s)"
             )
 
-            fitness = 0.0
-            if validator is not None and jax.process_index() == 0:
-                eval_vars = {
-                    "params": state.ema_params,
-                    "batch_stats": state.batch_stats,
-                }
-                vm = validator(model=self.model, variables=eval_vars, data=data)
-                log.update(vm)
-                fitness = vm.get("fitness", 0.0)
-                self.metrics = vm
-            if jax.process_count() > 1:
-                # broadcast host-0 fitness so every process takes the same
-                # early-stop decision (reference trainer.py:420-427
-                # broadcast_object_list); without this non-zero hosts see
-                # fitness=0 forever and their stopper fires after `patience`
-                from jax.experimental import multihost_utils
-
-                fitness = float(
-                    multihost_utils.broadcast_one_to_all(np.float32(fitness))
-                )
-            if fitness >= self.best_fitness:
-                self.best_fitness = fitness
-            self._write_csv(epoch, log)
-            self.label_loss_items = {k: v for k, v in log.items() if k.startswith("train/")}
-            self.run_callbacks("on_fit_epoch_end")
-            if args.save and jax.process_index() == 0:
-                self._save(state, epoch, fitness)
-                self.run_callbacks("on_model_save")
+            fitness = self._epoch_tail(state, epoch, log, validator, data)
             if stopper(epoch, fitness):
                 LOGGER.info(f"early stopping at epoch {epoch + 1} (patience {args.patience})")
                 break
@@ -376,6 +427,39 @@ class BaseTrainer:
             strip_optimizer(self.wdir / "last.ckpt")
         self.state = state
         return self.metrics
+
+    def _epoch_tail(self, state, epoch, log, validator, data) -> float:
+        """EMA validation -> fitness broadcast -> csv -> checkpoint; returns
+        this epoch's fitness (reference trainer.py:399-427)."""
+        fitness = 0.0
+        if validator is not None and jax.process_index() == 0:
+            eval_vars = {
+                "params": state.ema_params,
+                "batch_stats": state.batch_stats,
+            }
+            vm = validator(model=self.model, variables=eval_vars, data=data)
+            log.update(vm)
+            fitness = vm.get("fitness", 0.0)
+            self.metrics = vm
+        if jax.process_count() > 1:
+            # broadcast host-0 fitness so every process takes the same
+            # early-stop decision (reference trainer.py:420-427
+            # broadcast_object_list); without this non-zero hosts see
+            # fitness=0 forever and their stopper fires after `patience`
+            from jax.experimental import multihost_utils
+
+            fitness = float(
+                multihost_utils.broadcast_one_to_all(np.float32(fitness))
+            )
+        if fitness >= self.best_fitness:
+            self.best_fitness = fitness
+        self._write_csv(epoch, log)
+        self.label_loss_items = {k: v for k, v in log.items() if k.startswith("train/")}
+        self.run_callbacks("on_fit_epoch_end")
+        if self.args.save and jax.process_index() == 0:
+            self._save(state, epoch, fitness)
+            self.run_callbacks("on_model_save")
+        return fitness
 
     def _save(self, state: TrainState, epoch: int, fitness: float):
         kw = dict(

@@ -6,10 +6,17 @@ cost = class-cost + L1 box cost + GIoU cost over (query, gt) pairs; optimal
 assignment per image; then varifocal-style class loss + L1 + GIoU box losses,
 averaged over decoder layers (aux losses).
 
-TPU note: the cost matrix and all losses are computed on device; only the
-O(nq * n_gt) Hungarian solve itself runs on host via ``jax.pure_callback``
-(scipy.optimize.linear_sum_assignment) — a few microseconds of scalar work
-per image that has no dense-tensor formulation XLA could win on. Contrastive
+TPU note: everything stays on device — including the assignment solve. The
+reference (and most DETR ports) ships the cost matrix to host for
+scipy.optimize.linear_sum_assignment; on this repo's target deployment the
+accelerator sits behind a PJRT tunnel with NO host-callback support
+(pure_callback raises UNIMPLEMENTED), and a per-layer host round-trip would
+serialize the step anyway. ``hungarian_assign`` is instead a fully in-graph
+Jacobi auction (Bertsekas 1988): all unassigned gts bid in parallel each
+round (dense (G, Q) tensor work the VPU eats), a ``lax.while_loop`` runs
+rounds until every gt holds a query, and a greedy completion pass bounds
+worst-case rounds. The assignment is within G·ε of optimal (measured: exact
+to ~1e-7 relative vs the scipy oracle, tests/test_rtdetr.py). Contrastive
 denoising (reference get_cdn_group, ops.py:260) is implemented fixed-shape in
 ``models/utils/ops.py`` and consumed here by ``detr_dn_layer_loss``.
 """
@@ -25,32 +32,87 @@ import numpy as np
 from ...ops.boxes import bbox_iou, xywh2xyxy
 
 
-def _host_hungarian(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
-    """cost (N, Q, G), n_valid (N,) -> assignment (N, G) query index per gt
-    (-1 for padded gts)."""
-    from scipy.optimize import linear_sum_assignment
+_NEG = -1e9
 
-    N, Q, G = cost.shape
-    out = np.full((N, G), -1, np.int32)
-    for i in range(N):
-        g = int(n_valid[i])
-        if g == 0:
-            continue
-        rows, cols = linear_sum_assignment(cost[i, :, :g])
-        out[i, cols] = rows.astype(np.int32)
-    return out
+
+def _auction_one(cost_qg: jnp.ndarray, n_valid: jnp.ndarray,
+                 max_rounds: int = 600) -> jnp.ndarray:
+    """Jacobi auction for ONE image: cost (Q, G) -> (G,) query per gt, -1 for
+    padded gts. Persons = gts (few), objects = queries (many, Q >= G so a
+    perfect matching always exists).
+
+    Single phase, fixed ε, zero initial prices — NOT ε-scaling: with Q > G
+    the duality gap bound needs every positively-priced object to stay
+    assigned, which holds from a cold start (an object that receives a bid is
+    owned forever) but breaks across scaling phases (released objects keep
+    inflated prices and may never be re-bid, losing optimality entirely).
+    With ε = spread/(200·G) the assignment is within spread/200 of optimal;
+    measured on uniform/clustered/crowd cost geometries it is exact to ~1e-7
+    relative and converges in ≤150 Jacobi rounds (tests/test_rtdetr.py)."""
+    Q, G = cost_qg.shape
+    value = -cost_qg.T.astype(jnp.float32)  # (G, Q) person benefit
+    valid = jnp.arange(G) < n_valid
+    v_real = jnp.where(valid[:, None], value, 0.0)
+    spread = jnp.maximum(v_real.max() - v_real.min(), 1e-6)
+    eps = spread / (200.0 * G)
+    arangeG = jnp.arange(G)
+    arangeQ = jnp.arange(Q)
+
+    def cond(s):
+        prices, p2o, o2p, rounds = s
+        unassigned = valid & (p2o < 0)
+        return (rounds < max_rounds) & unassigned.any()
+
+    def body(s):
+        prices, p2o, o2p, rounds = s
+        bidders = valid & (p2o < 0)
+        # parallel bidding: each unassigned person bids best-vs-second margin
+        net = value - prices[None, :]                       # (G, Q)
+        i1 = jnp.argmax(net, axis=1)
+        b1 = jnp.take_along_axis(net, i1[:, None], 1)[:, 0]
+        b2 = jnp.max(net.at[arangeG, i1].set(_NEG), axis=1)
+        bid = prices[i1] + (b1 - b2) + eps
+        bid = jnp.where(bidders, bid, _NEG)
+        # object-wise winner (a person bids one object, so winners are unique)
+        bids_mx = jnp.where(arangeQ[None, :] == i1[:, None], bid[:, None], _NEG)
+        obj_bid = bids_mx.max(axis=0)                       # (Q,)
+        obj_winner = jnp.argmax(bids_mx, axis=0)            # (Q,)
+        won = obj_bid > _NEG
+        # evict previous owners of re-priced objects
+        lost = jnp.zeros((G,), bool).at[jnp.clip(o2p, 0)].max(won & (o2p >= 0))
+        p2o = jnp.where(lost, -1, p2o)
+        o2p = jnp.where(won, obj_winner, o2p)
+        p2o = p2o.at[jnp.where(won, obj_winner, G)].set(arangeQ, mode="drop")
+        prices = jnp.where(won, obj_bid, prices)
+        return prices, p2o, o2p, rounds + 1
+
+    init = (
+        jnp.zeros((Q,), jnp.float32),
+        jnp.full((G,), -1, jnp.int32),
+        jnp.full((Q,), -1, jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    _, p2o, o2p, _ = jax.lax.while_loop(cond, body, init)
+
+    # greedy completion: if the round cap hit first, hand any still-unassigned
+    # valid gt its best free query (keeps the matching feasible)
+    def fill(g, carry):
+        p2o, o2p = carry
+        need = valid[g] & (p2o[g] < 0)
+        o = jnp.argmax(jnp.where(o2p < 0, value[g], _NEG))
+        p2o = p2o.at[g].set(jnp.where(need, o, p2o[g]))
+        o2p = o2p.at[o].set(jnp.where(need, g, o2p[o]))
+        return p2o, o2p
+
+    p2o, _ = jax.lax.fori_loop(0, G, fill, (p2o, o2p))
+    return jnp.where(valid, p2o, -1).astype(jnp.int32)
 
 
 def hungarian_assign(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
-    """Jit-safe Hungarian via host callback."""
-    N, Q, G = cost.shape
-    return jax.pure_callback(
-        _host_hungarian,
-        jax.ShapeDtypeStruct((N, G), jnp.int32),
-        cost,
-        n_valid,
-        vmap_method="sequential",
-    )
+    """cost (N, Q, G), n_valid (N,) -> assignment (N, G) query index per gt
+    (-1 for padded gts). Fully in-graph (see module docstring); under vmap
+    the while_loop runs until the slowest image in the batch converges."""
+    return jax.vmap(_auction_one)(cost, n_valid)
 
 
 def match_cost(
