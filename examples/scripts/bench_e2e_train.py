@@ -18,23 +18,29 @@ import numpy as np
 
 
 def main(imgsz=640, batch=16, steps=40, n_imgs=128):
-    rows = [run_one(imgsz, batch, steps, n_imgs, cache)
-            for cache in ("device", "ram")]
+    rows = [run_one(imgsz, batch, steps, n_imgs, cache, spd)
+            for cache, spd in (("device", 8), ("device", 1), ("ram", 1))]
     rec = {"rows": rows,
-           "note": "cache='device': HBM-resident image pool, on-device gather "
-                   "per step; cache='ram': host decode cache + per-step H2D "
-                   "(through the TPU tunnel on this host)"}
+           "note": "cache='device' + steps_per_dispatch=8: lax.scan of 8 "
+                   "optimizer steps per device call over the HBM image pool "
+                   "(engine/step.py make_multi_train_step) — amortizes the "
+                   "~650ms tunnel dispatch round-trip; spd=1: one dispatch "
+                   "per step; cache='ram': host decode cache + per-step H2D"}
     (ROOT / "runs" / "e2e_train_bench.json").write_text(json.dumps(rec, indent=2))
     print(json.dumps(rec))
 
 
-def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram"):
+def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1):
     from tests.helpers import make_shape_dataset
     from yolo_contour_regression_tpu.cfg import get_cfg
     from yolo_contour_regression_tpu.data.build import build_dataloader, build_yolo_dataset
     from yolo_contour_regression_tpu.data.device_augment import make_augment_fn
     from yolo_contour_regression_tpu.data.utils import check_det_dataset
-    from yolo_contour_regression_tpu.engine.step import init_train_state, make_train_step
+    from yolo_contour_regression_tpu.engine.step import (
+        init_train_state,
+        make_multi_train_step,
+        make_train_step,
+    )
     from yolo_contour_regression_tpu.nn.tasks import build_model
     from yolo_contour_regression_tpu.utils.optim import build_optimizer
     import jax
@@ -57,34 +63,51 @@ def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram"):
     tx = build_optimizer(variables["params"], cfg, steps_per_epoch=10, iterations=10 * steps)
     state = init_train_state(variables, tx)
     aug_fn = make_augment_fn(cfg, imgsz, cfg.max_instances, mesh=None)
-    step_fn = make_train_step(model, tx, cfg, cand=128, augment_fn=aug_fn,
-                              donate=True)
 
-    it = iter(loader)
+    if spd > 1:
+        # multi-step-per-dispatch (trainer 'steps_per_dispatch' path)
+        multi_fn = make_multi_train_step(model, tx, cfg, cand=128,
+                                         augment_fn=aug_fn, donate=True)
+        sup = loader.superbatches(spd)
 
-    def run(n):
-        nonlocal state
-        for _ in range(n):
-            b = next(it)
-            images = jnp.asarray(b.pop("img"))
-            bd = {k: jnp.asarray(v) for k, v in b.items()}
-            state, metrics = step_fn(state, images, bd)
-        return metrics
+        def run(n):
+            nonlocal state
+            metrics = None
+            done = 0
+            while done < n:
+                idxs, labels = next(sup)
+                state, metrics = multi_fn(state, loader.images, idxs, labels)
+                done += idxs.shape[0]
+            return {k: v[-1] for k, v in metrics.items()}, done
+    else:
+        step_fn = make_train_step(model, tx, cfg, cand=128, augment_fn=aug_fn,
+                                  donate=True)
+        it = iter(loader)
+
+        def run(n):
+            nonlocal state
+            for _ in range(n):
+                b = next(it)
+                images = jnp.asarray(b.pop("img"))
+                bd = {k: jnp.asarray(v) for k, v in b.items()}
+                state, metrics = step_fn(state, images, bd)
+            return metrics, n
 
     # warmup: fills the RAM cache + compiles each instance bucket
-    m = run(10)
+    m, _ = run(10)
     loss0 = float(m["loss"])
     t0 = time.perf_counter()
-    m = run(steps)
+    m, n_done = run(steps)
     # force sync through a host readback of the final metrics
     loss1 = float(m["loss"])
     dt = time.perf_counter() - t0
-    imgs_per_sec = steps * batch / dt
+    imgs_per_sec = n_done * batch / dt
     rec = {
         "cache": cache,
+        "steps_per_dispatch": spd,
         "imgs_per_sec": round(imgs_per_sec, 1),
-        "ms_per_step": round(dt / steps * 1e3, 1),
-        "batch": batch, "imgsz": imgsz, "steps": steps,
+        "ms_per_step": round(dt / n_done * 1e3, 1),
+        "batch": batch, "imgsz": imgsz, "steps": n_done,
         "loss_first": round(loss0, 3), "loss_last": round(loss1, 3),
     }
     print(json.dumps(rec))

@@ -136,6 +136,69 @@ def test_multistep_equals_sequential():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.heavy
+def test_multistep_under_mesh():
+    """Multi-step dispatch over an 8-device batch mesh: pool replicated,
+    gathered batches + labels re-sharded inside the scan, loss finite and
+    params advance. (The driver's multichip dryrun covers the per-step path;
+    this covers the scan path.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolo_contour_regression_tpu.data.device_augment import make_augment_fn
+    from yolo_contour_regression_tpu.engine.step import (
+        init_train_state,
+        make_multi_train_step,
+    )
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.parallel.mesh import (
+        build_train_mesh,
+        place_train_state,
+    )
+    from yolo_contour_regression_tpu.utils.optim import build_optimizer
+
+    imgsz, nc, n_max, B, K, P_ = 64, 3, 4, 8, 2, 16
+    model = build_model("yolov8-seg.yaml", nc=nc)
+    variables = model.init(imgsz=imgsz)
+    hyp = SimpleNamespace(
+        lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=0.0005,
+        warmup_epochs=0.0, warmup_momentum=0.8, warmup_bias_lr=0.1,
+        box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0,
+        epochs=1, optimizer="SGD", cos_lr=False, batch=B, nbs=B, nc=nc,
+        mosaic=1.0, mixup=0.0, degrees=0.0, translate=0.1, scale=0.3,
+        shear=0.0, perspective=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+        fliplr=0.5, flipud=0.0,
+    )
+    rng = np.random.default_rng(5)
+    t = np.linspace(0, 2 * math.pi, 360, endpoint=False)
+    contour = np.stack([0.5 + 0.2 * np.cos(t), 0.5 + 0.2 * np.sin(t)], -1)
+    mesh = build_train_mesh(jax.devices()[:8], batch=B, tp=1)
+    pool = jax.device_put(
+        rng.integers(0, 255, (P_, imgsz, imgsz, 3), np.uint8),
+        NamedSharding(mesh, P()),
+    )
+    idxs = rng.integers(0, P_, (K, B)).astype(np.int32)
+    labels = {
+        "cls": np.ones((K, B, n_max), np.int32),
+        "bboxes": np.tile(np.array([0.5, 0.5, 0.4, 0.4], np.float32),
+                          (K, B, n_max, 1)),
+        "segments": np.tile(contour.astype(np.float32), (K, B, n_max, 1, 1)),
+        "mask_gt": np.zeros((K, B, n_max), bool),
+        "content_hw": np.full((K, B, 2), imgsz, np.float32),
+        "pad_tl": np.zeros((K, B, 2), np.float32),
+    }
+    labels["mask_gt"][:, :, 0] = True
+    aug = make_augment_fn(hyp, imgsz, max_instances=8, mesh=mesh)
+    tx = build_optimizer(variables["params"], hyp, steps_per_epoch=K, iterations=K)
+    state = place_train_state(mesh, init_train_state(variables, tx))
+    multi = make_multi_train_step(model, tx, hyp, cand=32, mesh=mesh,
+                                  donate=False, augment_fn=aug, aug_seed=0)
+    with mesh:
+        new_state, sm = multi(state, pool, jnp.asarray(idxs), labels)
+    losses = np.asarray(sm["loss"])
+    assert losses.shape == (K,) and np.isfinite(losses).all()
+    assert int(new_state.step) == K
+
+
 @pytest.mark.slow
 def test_trainer_multistep_e2e(ds_yaml, tmp_path):
     """Facade train with cache='device' exercises the multistep branch

@@ -242,10 +242,14 @@ def make_multi_train_step(
             idx, lab = xs
             imgs = jnp.take(pool, idx, axis=0)
             if batch_sharding is not None:
-                # pool + idx are replicated; re-shard the gathered batch so
-                # augment + step run data-parallel exactly like the
+                # pool + idx are replicated; re-shard the gathered batch and
+                # labels so augment + step run data-parallel exactly like the
                 # one-dispatch-per-step path
                 imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
+                lab = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
+                    lab,
+                )
             st, metrics = body(st, imgs, lab)
             return st, metrics
 

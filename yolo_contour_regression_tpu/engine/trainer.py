@@ -265,8 +265,17 @@ class BaseTrainer:
         multi_fn = build_multi(aug_fn) if multistep else None
         super_iter = iter(loader.superbatches(K)) if multistep else None
         self.used_multistep = bool(multistep)
+        pool = None
         if multistep:
             LOGGER.info(f"multi-step dispatch: {K} optimizer steps per device call")
+            pool = loader.images
+            if n_used > 1:
+                # the pool lives on one device after staging; replicate it
+                # across the mesh like params (batch gathers re-shard inside
+                # the scan body)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                pool = jax.device_put(pool, NamedSharding(mesh, P()))
 
         validator = self.get_validator() if args.val else None
         stopper = EarlyStopping(args.patience)
@@ -322,7 +331,7 @@ class BaseTrainer:
                             names=data.get("names"),
                         )
                         first_batch_plotted = True
-                    state, smetrics = multi_fn(state, loader.images, idxs, labels)
+                    state, smetrics = multi_fn(state, pool, idxs, labels)
                     done += idxs.shape[0]
                 losses = np.asarray(smetrics["loss"])
                 if not np.isfinite(losses).all():
