@@ -131,3 +131,30 @@ def test_resample_contour_square():
     np.testing.assert_allclose(out[2], [10, 0], atol=1e-5)
     np.testing.assert_allclose(out[4], [10, 10], atol=1e-5)
     np.testing.assert_allclose(out[8], [0, 0], atol=1e-5)
+
+
+def test_lazy_decode_matches_full():
+    """decode_polar_lazy + finalize_polar_extras must reproduce decode_polar
+    exactly (boxes, scores, and the 108-column contour layout) — the lazy
+    path only defers the points materialization past NMS."""
+    from yolo_contour_regression_tpu.nn.modules.head import (
+        decode_polar,
+        decode_polar_lazy,
+        finalize_polar_extras,
+    )
+
+    rng = np.random.default_rng(0)
+    nc, strides = 3, (8, 16, 32)
+    outs = [
+        jnp.asarray(rng.normal(2.0, 3.0, (2, s, s, 36 + nc)).astype(np.float32))
+        for s in (8, 4, 2)
+    ]
+    full = np.asarray(decode_polar(outs, strides, nc))      # (2, 4+nc+108, A)
+    lazy = decode_polar_lazy(outs, strides, nc)             # (2, 4+nc+38, A)
+    np.testing.assert_allclose(np.asarray(lazy[:, : 4 + nc]), full[:, : 4 + nc],
+                               rtol=1e-6, atol=1e-6)
+    ex = jnp.transpose(lazy[:, 4 + nc :], (0, 2, 1))        # (2, A, 38)
+    ex108 = np.asarray(finalize_polar_extras(ex))           # (2, A, 108)
+    np.testing.assert_allclose(
+        ex108, np.transpose(full[:, 4 + nc :], (0, 2, 1)), rtol=1e-6, atol=1e-6
+    )

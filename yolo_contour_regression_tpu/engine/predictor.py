@@ -124,20 +124,32 @@ class BasePredictor:
         nc = model.nc
         args = self.args
 
+        lazy = self.task == "segment" and hasattr(model, "predict_lazy")
+
         @jax.jit
         def eval_fn(variables, images):
-            pred = model.predict(variables, images)
+            if lazy:
+                # polar: defer contour-point decode past NMS (head.py
+                # decode_polar_lazy) — same outputs, 28x smaller points tensor
+                pred = model.predict_lazy(variables, images)
+            else:
+                pred = model.predict(variables, images)
             # decode_detect emits xywh (polar decode emits xyxy directly)
             if self.task in ("detect", "pose"):
                 from ..ops.boxes import xywh2xyxy
 
                 boxes = jnp.transpose(pred[:, :4], (0, 2, 1))
                 pred = pred.at[:, :4].set(jnp.transpose(xywh2xyxy(boxes), (0, 2, 1)))
-            return non_max_suppression(
+            out = non_max_suppression(
                 pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
                 iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 1024),
                 max_det=args.max_det, agnostic=args.agnostic_nms,
             )
+            if lazy:
+                from ..nn.modules.head import finalize_polar_extras
+
+                out["extras"] = finalize_polar_extras(out["extras"])
+            return out
 
         return eval_fn
 

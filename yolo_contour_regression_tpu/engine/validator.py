@@ -187,7 +187,9 @@ class SegmentationValidator(BaseValidator):
 
         @jax.jit
         def eval_fn(variables, images, gt_bboxes, gt_segments, mask_gt, ori_shape, ratio_pad):
-            pred = model.predict(variables, images)  # (B, 4+nc+108, A)
+            # lazy polar decode: carry [rays|anchor] through NMS, reconstruct
+            # contour points for survivors only (head.py decode_polar_lazy)
+            pred = model.predict_lazy(variables, images)  # (B, 4+nc+38, A)
             out = non_max_suppression(
                 pred.astype(jnp.float32),
                 nc=nc,
@@ -208,7 +210,9 @@ class SegmentationValidator(BaseValidator):
             ious_box = jax.vmap(box_iou)(gt_nat, boxes_nat)  # (B, N, max_det)
 
             # contours -> native px
-            ex = out["extras"]  # (B, max_det, 108)
+            from ..nn.modules.head import finalize_polar_extras
+
+            ex = finalize_polar_extras(out["extras"])  # (B, max_det, 108)
             ppts = scale_coords(
                 jnp.stack([ex[..., :36], ex[..., 36:72]], -1), ratio_pad
             )

@@ -107,6 +107,51 @@ def decode_polar(
     return jnp.transpose(allpred, (0, 2, 1))  # (B, 4+nc+108, A) — reference layout
 
 
+def decode_polar_lazy(
+    outs: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    nm: int = polar_ops.NUM_RAYS,
+):
+    """Bandwidth-lean eval decode: (B, 4 + nc + 38, A) with extras =
+    [36 rays_px | anchor_px xy] instead of the 108 decoded contour values.
+
+    ``decode_polar`` materializes (B, A, 36, 2) contour points for every
+    anchor before NMS keeps only max_det of them — at A=8400 that tensor is
+    the single largest HBM consumer in the deploy pipeline
+    (runs/bench_ablate.json: +3.6 ms at batch 128, +9.2 ms at 256, the
+    batch-256 throughput cliff). Boxes come from the fused rays→min/max
+    reduce (ops/polar.py decode_ray_boxes); contour points are reconstructed
+    AFTER NMS from the carried rays+anchor by ``finalize_polar_extras`` —
+    numerically identical output (same clamp, same trig), 36+2 carried
+    columns instead of 108. The full-layout ``decode_polar`` remains the
+    export contract (ONNX consumers get decoded contours)."""
+    feat_hw = [(o.shape[1], o.shape[2]) for o in outs]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=outs[0].dtype)
+    x = flatten_levels(outs)  # (B, A, nm+nc)
+    rays, cls = x[..., :nm], x[..., nm:]
+    rays_px = rays * stride_t[None, :, :]
+    anchors_px = anchor_points * stride_t
+    boxes = polar_ops.decode_ray_boxes(rays_px, anchors_px)
+    scores = nn.sigmoid(cls)
+    anc = jnp.broadcast_to(anchors_px[None], (x.shape[0],) + anchors_px.shape)
+    allpred = jnp.concatenate(
+        [boxes, scores, jnp.clip(rays_px, polar_ops.RAY_EPS, None), anc], axis=-1
+    )  # (B, A, 4+nc+38)
+    return jnp.transpose(allpred, (0, 2, 1))
+
+
+def finalize_polar_extras(ex: jnp.ndarray, nm: int = polar_ops.NUM_RAYS):
+    """Post-NMS half of the lazy decode: extras (..., 38) [rays_px |
+    anchor_px] -> the standard 108 layout (..., 108) [36 x | 36 y | 36
+    valid], identical to what ``decode_polar`` carries through NMS."""
+    rays, anc = ex[..., :nm], ex[..., nm:]
+    points, valid, _ = polar_ops.decode_rays(rays, anc)
+    return jnp.concatenate(
+        [points[..., 0], points[..., 1], valid.astype(ex.dtype)], axis=-1
+    )
+
+
 class Detect(nn.Module):
     """Stock YOLOv8 detect head with DFL box regression (head.py:25)."""
 

@@ -478,6 +478,15 @@ class SegmentationModel(BaseModel):
     def decode(self, outs):
         return head_mod.decode_polar(outs, self.strides, self.nc, self.nm)
 
+    def predict_lazy(self, variables, x):
+        """Eval forward + lazy decode (B, 4+nc+38, A): contour points are
+        reconstructed post-NMS via head.finalize_polar_extras — identical
+        results to predict(), ~3x less pre-NMS HBM traffic (see
+        decode_polar_lazy docstring). Used by predictor/validator/bench;
+        export keeps the full predict() layout."""
+        outs = self.raw_forward(variables, x, train=False)
+        return head_mod.decode_polar_lazy(outs, self.strides, self.nc, self.nm)
+
 
 class DetectionModel(BaseModel):
     task = "detect"

@@ -80,6 +80,24 @@ def decode_rays(rays, anchor_points_px):
     return points, valid, boxes
 
 
+def decode_ray_boxes(rays, anchor_points_px):
+    """Boxes ONLY from rays — no (..., A, 36, 2) points materialization.
+
+    Same math as ``decode_rays`` but segx/segy feed straight into min/max
+    reduces, so XLA fuses the trig + reduce and HBM sees just the (..., A, 4)
+    result. This is the pre-NMS half of the lazy decode path
+    (nn/modules/head.py decode_polar_lazy): at val/bench anchor counts
+    (A=8400) the full points tensor is 72 floats/anchor of pure bandwidth,
+    28x more than the post-NMS survivor set ever needs."""
+    rays = jnp.clip(rays, RAY_EPS, None)
+    cos, sin = ray_cos_sin(rays.dtype)
+    segx = rays * cos + anchor_points_px[..., 0:1]
+    segy = rays * sin + anchor_points_px[..., 1:2]
+    return jnp.stack(
+        [segx.min(-1), segy.min(-1), segx.max(-1), segy.max(-1)], axis=-1
+    )
+
+
 def point_angles_deg(points, center):
     """Angle in [0, 360) degrees of each point about center (y-down frame).
 
