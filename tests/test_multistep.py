@@ -220,3 +220,21 @@ def test_trainer_multistep_e2e(ds_yaml, tmp_path):
     assert (m.trainer.save_dir / "train_batch0.jpg").exists()
     wdir = m.trainer.wdir
     assert (wdir / "last.ckpt").exists() and (wdir / "best.ckpt").exists()
+
+
+@pytest.mark.slow
+def test_trainer_multistep_stacked_e2e(ds_yaml, tmp_path):
+    """Without the HBM pool (no cache), multistep runs in stacked mode: K
+    uint8 batches stacked host-side, one H2D + scan per dispatch."""
+    from yolo_contour_regression_tpu import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    metrics = m.train(
+        data=str(ds_yaml), epochs=1, imgsz=64, batch=4, nbs=4, workers=1,
+        project=str(tmp_path / "runs"), warmup_epochs=0.0, val=True,
+        max_instances=8, cand_per_gt=32, patience=10, close_mosaic=0,
+        device_augment=True, steps_per_dispatch=3, plots=False,
+    )
+    assert m.trainer.used_multistep
+    assert "metrics/mAP50-95(M)" in metrics
+    assert (m.trainer.wdir / "last.ckpt").exists()

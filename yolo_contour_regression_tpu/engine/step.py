@@ -209,16 +209,23 @@ def make_multi_train_step(
     donate: bool = True,
     augment_fn=None,
     aug_seed: int = 0,
+    from_pool: bool = True,
 ):
     """K optimizer steps in ONE device dispatch.
 
-    ``(state, pool, idxs, labels) -> (state, metrics)`` where ``pool`` is the
-    HBM-resident uint8 image set (data/build.py DevicePoolLoader), ``idxs`` is
-    ``(K, B)`` int32 sample indices and ``labels`` a dict of ``(K, B, ...)``
-    stacked label arrays. A ``lax.scan`` gathers each step's image batch from
-    the pool on-device, runs augmentation + the fused train step, and carries
-    the updated state — the host uploads only indices + labels (KBs) and pays
-    ONE dispatch round-trip per K steps.
+    With ``from_pool`` (default): ``(state, pool, idxs, labels) -> (state,
+    metrics)`` where ``pool`` is the HBM-resident uint8 image set
+    (data/build.py DevicePoolLoader), ``idxs`` is ``(K, B)`` int32 sample
+    indices and ``labels`` a dict of ``(K, B, ...)`` stacked label arrays. A
+    ``lax.scan`` gathers each step's image batch from the pool on-device,
+    runs augmentation + the fused train step, and carries the updated state —
+    the host uploads only indices + labels (KBs) and pays ONE dispatch
+    round-trip per K steps.
+
+    With ``from_pool=False`` (datasets too large for the HBM pool):
+    ``(state, images, labels) -> (state, metrics)`` where ``images`` is a
+    ``(K, B, H, W, 3)`` uint8 stack — one H2D burst + one dispatch per K
+    steps instead of K of each.
 
     Why: on hosts where the accelerator sits behind a high-latency link (the
     tunneled-TPU deployment this repo targets), per-step dispatch costs
@@ -237,23 +244,36 @@ def make_multi_train_step(
 
         batch_sharding = NamedSharding(mesh, P("batch"))
 
-    def multi_fn(state: TrainState, pool, idxs, labels):
-        def scan_body(st, xs):
-            idx, lab = xs
-            imgs = jnp.take(pool, idx, axis=0)
-            if batch_sharding is not None:
-                # pool + idx are replicated; re-shard the gathered batch and
-                # labels so augment + step run data-parallel exactly like the
-                # one-dispatch-per-step path
-                imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
-                lab = jax.tree_util.tree_map(
-                    lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
-                    lab,
-                )
-            st, metrics = body(st, imgs, lab)
-            return st, metrics
+    def _shard(imgs, lab):
+        if batch_sharding is not None:
+            # pool/stack + idx arrive replicated; re-shard the per-step batch
+            # and labels so augment + step run data-parallel exactly like the
+            # one-dispatch-per-step path
+            imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
+            lab = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
+                lab,
+            )
+        return imgs, lab
 
-        return jax.lax.scan(scan_body, state, (idxs, labels))
+    if from_pool:
+        def multi_fn(state: TrainState, pool, idxs, labels):
+            def scan_body(st, xs):
+                idx, lab = xs
+                imgs, lab = _shard(jnp.take(pool, idx, axis=0), lab)
+                st, metrics = body(st, imgs, lab)
+                return st, metrics
+
+            return jax.lax.scan(scan_body, state, (idxs, labels))
+    else:
+        def multi_fn(state: TrainState, images, labels):
+            def scan_body(st, xs):
+                imgs, lab = xs
+                imgs, lab = _shard(imgs, lab)
+                st, metrics = body(st, imgs, lab)
+                return st, metrics
+
+            return jax.lax.scan(scan_body, state, (images, labels))
 
     # donate the state (argnum 0) but never the pool: it must survive across
     # dispatches for the whole run

@@ -45,6 +45,27 @@ from .step import (
 )
 
 
+def _stack_raw_batches(data_iter, n: int):
+    """Pull ``n`` raw-mode batches off the loader and stack them into
+    (n, B, ...) arrays for one multi-step dispatch (stacked mode). Instance
+    buckets (data/augment.py collate) can differ across batches, so label
+    instance axes are re-padded to the group max first."""
+    micro = [next(data_iter) for _ in range(n)]
+    imgs = [m.pop("img") for m in micro]
+    if "mask_gt" in micro[0]:
+        n_max = max(m["mask_gt"].shape[1] for m in micro)
+        for m in micro:
+            pad = n_max - m["mask_gt"].shape[1]
+            if pad:
+                for k in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
+                    if k in m:
+                        m[k] = np.pad(
+                            m[k], [(0, 0), (0, pad)] + [(0, 0)] * (m[k].ndim - 2)
+                        )
+    labels = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+    return np.stack(imgs), labels
+
+
 class EarlyStopping:
     """(reference torch_utils.py:478)."""
 
@@ -249,33 +270,41 @@ class BaseTrainer:
             K = min(steps_per_epoch, 32)
         else:
             K = max(1, min(int(spd), steps_per_epoch))
-        multistep = (
-            K > 1 and accumulate == 1 and raw_mode
-            and isinstance(loader, DevicePoolLoader)
-        )
+        pool_mode = isinstance(loader, DevicePoolLoader)
+        if not pool_mode:
+            # stacked mode ships (K, B, S, S, 3) uint8 per dispatch — cap the
+            # stack at 512 MB of HBM/H2D burst
+            batch_bytes = args.batch * args.imgsz * args.imgsz * 3
+            K = max(1, min(K, (512 * 1024**2) // max(batch_bytes, 1)))
+        multistep = K > 1 and accumulate == 1 and raw_mode
 
         def build_multi(augment_fn):
             return make_multi_train_step(
                 self.model, tx, args, cand=getattr(args, "cand_per_gt", 128),
                 mesh=mesh, donate=bool(getattr(args, "donate", True)),
                 augment_fn=augment_fn, aug_seed=args.seed,
+                from_pool=pool_mode,
             )
 
         step_fn = None if multistep else build_step(aug_fn)
         multi_fn = build_multi(aug_fn) if multistep else None
-        super_iter = iter(loader.superbatches(K)) if multistep else None
+        super_iter = iter(loader.superbatches(K)) if multistep and pool_mode else None
         self.used_multistep = bool(multistep)
         pool = None
         if multistep:
-            LOGGER.info(f"multi-step dispatch: {K} optimizer steps per device call")
-            pool = loader.images
-            if n_used > 1:
-                # the pool lives on one device after staging; replicate it
-                # across the mesh like params (batch gathers re-shard inside
-                # the scan body)
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            LOGGER.info(
+                f"multi-step dispatch: {K} optimizer steps per device call "
+                f"({'HBM pool gather' if pool_mode else 'stacked uint8 batches'})"
+            )
+            if pool_mode:
+                pool = loader.images
+                if n_used > 1:
+                    # the pool lives on one device after staging; replicate it
+                    # across the mesh like params (batch gathers re-shard
+                    # inside the scan body)
+                    from jax.sharding import NamedSharding, PartitionSpec as P
 
-                pool = jax.device_put(pool, NamedSharding(mesh, P()))
+                    pool = jax.device_put(pool, NamedSharding(mesh, P()))
 
         validator = self.get_validator() if args.val else None
         stopper = EarlyStopping(args.patience)
@@ -319,11 +348,19 @@ class BaseTrainer:
             if multistep:
                 done = 0
                 while done < steps_per_epoch:
-                    idxs, labels = next(super_iter)
+                    if pool_mode:
+                        idxs, labels = next(super_iter)
+                        kk = idxs.shape[0]
+                    else:
+                        kk = min(K, steps_per_epoch - done)
+                        images_s, labels = _stack_raw_batches(data_iter, kk)
                     if args.plots and not first_batch_plotted and args.task != "classify":
                         from ..utils.plotting import plot_images
 
-                        pimg = np.asarray(loader.images[jnp.asarray(idxs[0])])
+                        if pool_mode:
+                            pimg = np.asarray(loader.images[jnp.asarray(idxs[0])])
+                        else:
+                            pimg = np.asarray(images_s[0])
                         pimg = pimg[..., ::-1].astype(np.float32) / 255.0
                         plot_images(
                             pimg, {k: v[0] for k, v in labels.items()},
@@ -331,8 +368,11 @@ class BaseTrainer:
                             names=data.get("names"),
                         )
                         first_batch_plotted = True
-                    state, smetrics = multi_fn(state, pool, idxs, labels)
-                    done += idxs.shape[0]
+                    if pool_mode:
+                        state, smetrics = multi_fn(state, pool, idxs, labels)
+                    else:
+                        state, smetrics = multi_fn(state, images_s, labels)
+                    done += kk
                 losses = np.asarray(smetrics["loss"])
                 if not np.isfinite(losses).all():
                     raise FloatingPointError(
