@@ -67,8 +67,26 @@ def measure(batch: int) -> dict:
         )
         return out["scores"].sum()
 
+    def stage_full_lazy(variables, raw, x0, acc):
+        # the shipped bench.py pipeline after the lazy-decode change:
+        # boxes/scores + [rays|anchor] pre-NMS, contour points reconstructed
+        # for the max_det survivors only (head.py decode_polar_lazy)
+        from yolo_contour_regression_tpu.nn.modules.head import (
+            finalize_polar_extras,
+        )
+
+        x = raw.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
+        pred = model.predict_lazy(variables, x)
+        out = non_max_suppression(
+            pred.astype(jnp.float32), nc=model.nc, conf_thres=0.25,
+            iou_thres=0.7, pre_nms=300, max_det=300,
+        )
+        ex = finalize_polar_extras(out["extras"])
+        return out["scores"].sum() + ex.sum() * 1e-12
+
     stages = {"model": stage_model, "+decode": stage_decode,
-              "+pre": stage_pre, "+nms": stage_full}
+              "+pre": stage_pre, "+nms": stage_full,
+              "+nms(lazy)": stage_full_lazy}
     row = {"batch": batch}
     for name, fn in stages.items():
         @partial(jax.jit, static_argnames=("n",))
