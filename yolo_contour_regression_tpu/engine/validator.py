@@ -146,6 +146,72 @@ class BaseValidator:
             self._eval_fn_cache[key] = fn
         return fn
 
+    def _wrap_eval_core(self, key, core_builder):
+        """Jit an UNJITTED eval core two ways: 'single' (one batch per
+        dispatch) and 'scan' (a lax.scan over G stacked batches). Memoized
+        like _cached_eval_fn."""
+
+        def build():
+            core = core_builder()
+
+            def scan_fn(variables, *stacked):
+                def body(c, xs):
+                    return c, core(variables, *xs)
+
+                _, outs = jax.lax.scan(body, 0, stacked)
+                return outs
+
+            return {"single": jax.jit(core), "scan": jax.jit(scan_fn)}
+
+        return self._cached_eval_fn(key, build)
+
+    def _dispatch_eval(self, loader, variables, fns, arg_keys):
+        """Yield ``(batch, out_np, n_valid)`` per loader batch while running
+        up to ``val_dispatch_group`` (default 8) batches per device call.
+
+        The dispatch round-trip — not compute — dominates val wall-clock on
+        hosts where the accelerator sits behind a high-latency link
+        (docs/PERF_NOTES.md), so batches are stacked and scanned G at a time,
+        mirroring the trainer's steps_per_dispatch. Rect val (per-batch
+        letterbox shapes) keeps one dispatch per batch. Device time
+        accumulates in ``self._t_dev``."""
+        rect = bool(getattr(getattr(loader, "dataset", None), "rect", False))
+        group = 1 if rect else max(
+            1, int(getattr(self.args, "val_dispatch_group", 8) or 8)
+        )
+        self._t_dev = 0.0
+
+        def flush(buf):
+            if not buf:
+                return
+            td = time.perf_counter()
+            if len(buf) == 1:
+                nv, b = buf[0]
+                out = fns["single"](
+                    variables, *(jnp.asarray(b[k]) for k in arg_keys)
+                )
+                outs = {k: np.asarray(v)[None] for k, v in out.items()}
+            else:
+                out = fns["scan"](
+                    variables,
+                    *(jnp.asarray(np.stack([np.asarray(b[k]) for _, b in buf]))
+                      for k in arg_keys),
+                )
+                outs = {k: np.asarray(v) for k, v in out.items()}
+            self._t_dev += time.perf_counter() - td
+            for gi, (nv, b) in enumerate(buf):
+                yield b, {k: v[gi] for k, v in outs.items()}, nv
+
+        buf = []
+        for batch in loader:
+            B = batch["img"].shape[0]
+            nv = min(int(batch.pop("n_valid", B)), B)
+            buf.append((nv, batch))
+            if len(buf) >= group:
+                yield from flush(buf)
+                buf = []
+        yield from flush(buf)
+
     def build_loader(self, data):
         from copy import copy
 
@@ -185,8 +251,8 @@ class SegmentationValidator(BaseValidator):
         nc = model.nc
         R = max(imgsz // mask_ratio, 8)
 
-        @jax.jit
         def eval_fn(variables, images, gt_bboxes, gt_segments, mask_gt, ori_shape, ratio_pad):
+            # unjitted core — _wrap_eval_core jits it single and scanned.
             # lazy polar decode: carry [rays|anchor] through NMS, reconstruct
             # contour points for survivors only (head.py decode_polar_lazy)
             pred = model.predict_lazy(variables, images)  # (B, 4+nc+38, A)
@@ -256,7 +322,7 @@ class SegmentationValidator(BaseValidator):
         metrics = SegmentMetrics(names=names)
         cm = ConfusionMatrix(model.nc)
         mask_ratio = getattr(args, "mask_ratio", 4) or 4
-        eval_fn = self._cached_eval_fn(
+        fns = self._wrap_eval_core(
             (id(model), mask_ratio, args.imgsz, args.max_det, args.conf,
              args.iou, getattr(args, "pre_nms", 4096)),
             lambda: self._make_eval_fn(model, mask_ratio, args.imgsz),
@@ -265,25 +331,12 @@ class SegmentationValidator(BaseValidator):
 
         n_img = 0
         t0 = time.time()
-        t_dev = 0.0
         jdict = []
         first_batch = None
-        for batch in loader:
-            B = batch["img"].shape[0]
-            nv = min(int(batch.pop("n_valid", B)), B)
-            images = jnp.asarray(batch["img"])
-            td = time.perf_counter()
-            out = eval_fn(
-                variables,
-                images,
-                jnp.asarray(batch["bboxes"]),
-                jnp.asarray(batch["segments"]),
-                jnp.asarray(batch["mask_gt"]),
-                jnp.asarray(batch["ori_shape"]),
-                jnp.asarray(batch["ratio_pad"]),
-            )
-            out = {k: np.asarray(v) for k, v in out.items()}  # forces sync
-            t_dev += time.perf_counter() - td
+        for batch, out, nv in self._dispatch_eval(
+            loader, variables, fns,
+            ("img", "bboxes", "segments", "mask_gt", "ori_shape", "ratio_pad"),
+        ):
             if first_batch is None:
                 first_batch = ({k: v for k, v in batch.items()}, out, nv)
             for bi in range(nv):
@@ -333,7 +386,7 @@ class SegmentationValidator(BaseValidator):
             if first_batch is not None:
                 self._plot_val_batch(first_batch, names)
         # per-image speed, reference validator.py:183 summary line style
-        self.speed = {"device_ms_per_img": round(t_dev / max(n_img, 1) * 1e3, 2)}
+        self.speed = {"device_ms_per_img": round(self._t_dev / max(n_img, 1) * 1e3, 2)}
         LOGGER.info(
             f"val: {n_img} imgs  box mAP50-95 {res['metrics/mAP50-95(B)']:.4f}  "
             f"mask mAP50-95 {res['metrics/mAP50-95(M)']:.4f}  "
@@ -399,8 +452,8 @@ class SegmentationOriValidator(BaseValidator):
         nc = model.nc
         nm = model.head_spec.kwargs.get("nm", 32)
 
-        @jax.jit
         def eval_fn(variables, images, gt_bboxes, gt_segments, mask_gt, ori_shape, ratio_pad):
+            # unjitted core — _wrap_eval_core jits it single and scanned
             pred, proto = model.predict(variables, images)  # (B,4+nc+nm,A), (B,hp,wp,nm)
             boxes_xywh = pred[:, :4]
             pred = pred.at[:, :4].set(
@@ -470,7 +523,7 @@ class SegmentationOriValidator(BaseValidator):
         names = getattr(model, "names", {}) or {}
         metrics = SegmentMetrics(names=names)
         cm = ConfusionMatrix(model.nc)
-        eval_fn = self._cached_eval_fn(
+        fns = self._wrap_eval_core(
             (id(model), args.imgsz, args.max_det, args.conf, args.iou,
              getattr(args, "pre_nms", 4096)),
             lambda: self._make_eval_fn(model, args.imgsz),
@@ -478,19 +531,10 @@ class SegmentationOriValidator(BaseValidator):
 
         n_img = 0
         t0 = time.time()
-        for batch in loader:
-            B = batch["img"].shape[0]
-            nv = min(int(batch.pop("n_valid", B)), B)
-            images = jnp.asarray(batch["img"])
-            out = eval_fn(
-                variables, images,
-                jnp.asarray(batch["bboxes"]),
-                jnp.asarray(batch["segments"]),
-                jnp.asarray(batch["mask_gt"]),
-                jnp.asarray(batch["ori_shape"]),
-                jnp.asarray(batch["ratio_pad"]),
-            )
-            out = {k: np.asarray(v) for k, v in out.items()}
+        for batch, out, nv in self._dispatch_eval(
+            loader, variables, fns,
+            ("img", "bboxes", "segments", "mask_gt", "ori_shape", "ratio_pad"),
+        ):
             for bi in range(nv):
                 keep = out["valid"][bi]
                 gt_keep = batch["mask_gt"][bi]
@@ -527,8 +571,8 @@ class DetectionValidator(BaseValidator):
         nc = model.nc
         max_det = self.args.max_det
 
-        @jax.jit
         def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
+            # unjitted core — _wrap_eval_core jits it single and scanned
             pred = model.predict(variables, images)  # (B, 4+nc, A) xywh
             boxes_xywh = pred[:, :4]
             pred = pred.at[:, :4].set(
@@ -568,7 +612,7 @@ class DetectionValidator(BaseValidator):
         names = getattr(model, "names", {}) or {}
         metrics = DetMetrics(names=names)
         cm = ConfusionMatrix(model.nc)
-        eval_fn = self._cached_eval_fn(
+        fns = self._wrap_eval_core(
             (id(model), args.imgsz, args.max_det, args.conf, args.iou,
              getattr(args, "pre_nms", 4096)),
             lambda: self._make_eval_fn(model, args.imgsz),
@@ -577,15 +621,9 @@ class DetectionValidator(BaseValidator):
         n_img = 0
         t0 = time.time()
         jdict = []
-        for batch in loader:
-            B = batch["img"].shape[0]
-            nv = min(int(batch.pop("n_valid", B)), B)
-            images = jnp.asarray(batch["img"])
-            out = eval_fn(
-                variables, images, jnp.asarray(batch["bboxes"]),
-                jnp.asarray(batch["ori_shape"]), jnp.asarray(batch["ratio_pad"]),
-            )
-            out = {k: np.asarray(v) for k, v in out.items()}
+        for batch, out, nv in self._dispatch_eval(
+            loader, variables, fns, ("img", "bboxes", "ori_shape", "ratio_pad")
+        ):
             for bi in range(nv):
                 keep = out["valid"][bi]
                 gt_keep = batch["mask_gt"][bi]
@@ -658,8 +696,8 @@ class PoseValidator(DetectionValidator):
         max_det = args.max_det
 
         def _build():
-            @jax.jit
             def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
+                # unjitted core — _wrap_eval_core jits it single and scanned
                 pred = model.predict(variables, images)  # (B, 4+nc+nk, A)
                 boxes_xywh = pred[:, :4]
                 pred = pred.at[:, :4].set(
@@ -688,7 +726,7 @@ class PoseValidator(DetectionValidator):
 
             return eval_fn
 
-        eval_fn = self._cached_eval_fn(
+        fns = self._wrap_eval_core(
             (id(model), args.imgsz, max_det, args.conf, args.iou,
              getattr(args, "pre_nms", 4096)),
             _build,
@@ -696,15 +734,9 @@ class PoseValidator(DetectionValidator):
 
         t0 = time.time()
         n_img = 0
-        for batch in loader:
-            B = batch["img"].shape[0]
-            nv = min(int(batch.pop("n_valid", B)), B)
-            images = jnp.asarray(batch["img"])
-            out = eval_fn(
-                variables, images, jnp.asarray(batch["bboxes"]),
-                jnp.asarray(batch["ori_shape"]), jnp.asarray(batch["ratio_pad"]),
-            )
-            out = {k: np.asarray(v) for k, v in out.items()}
+        for batch, out, nv in self._dispatch_eval(
+            loader, variables, fns, ("img", "bboxes", "ori_shape", "ratio_pad")
+        ):
             n_img += nv
             for bi in range(nv):
                 keep = out["valid"][bi]

@@ -30,8 +30,8 @@ class RTDETRValidator(BaseValidator):
         imgsz = args.imgsz
 
         def _build():
-            @jax.jit
             def eval_fn(variables, images, gt_bboxes, ori_shape, ratio_pad):
+                # unjitted core — _wrap_eval_core jits it single and scanned
                 pred = model.predict(variables, images)  # (B, nq, 4+nc) cxcywh norm
                 # native-space matching (reference rtdetr/val.py scales to
                 # ori_shape), via the shared inverse-letterbox op;
@@ -43,24 +43,18 @@ class RTDETRValidator(BaseValidator):
                 scores = pred[..., 4:]
                 gt_xyxy = scale_boxes(xywh2xyxy(gt_bboxes) * wh2, ratio_pad, ori_shape)
                 ious = jax.vmap(box_iou)(gt_xyxy, boxes)
-                return boxes, scores, ious
+                return {"boxes": boxes, "scores": scores, "ious": ious}
 
             return eval_fn
 
-        eval_fn = self._cached_eval_fn((id(model), imgsz), _build)
+        fns = self._wrap_eval_core((id(model), imgsz), _build)
 
         t0 = time.time()
         n_img = 0
-        for batch in loader:
-            B = batch["img"].shape[0]
-            nv = min(int(batch.pop("n_valid", B)), B)
-            images = jnp.asarray(batch["img"])
-            boxes, scores, ious = (
-                np.asarray(v) for v in eval_fn(
-                    variables, images, jnp.asarray(batch["bboxes"]),
-                    jnp.asarray(batch["ori_shape"]), jnp.asarray(batch["ratio_pad"]),
-                )
-            )
+        for batch, out, nv in self._dispatch_eval(
+            loader, variables, fns, ("img", "bboxes", "ori_shape", "ratio_pad")
+        ):
+            boxes, scores, ious = out["boxes"], out["scores"], out["ious"]
             for bi in range(nv):
                 conf = scores[bi].max(-1)
                 cls = scores[bi].argmax(-1)
