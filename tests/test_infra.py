@@ -294,3 +294,36 @@ def test_results_getitem_int_keeps_instance_dim():
     last = res[-1]
     assert last.masks.data.shape == (1, h, w)
     assert np.allclose(last.boxes.data[0], boxes[2])
+
+
+def test_async_checkpoint_saver(tmp_path):
+    """AsyncCheckpointSaver: on-device copy + background readback writes the
+    same checkpoint as the sync path, saves stay ordered, wait() drains."""
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.utils.checkpoint import (
+        AsyncCheckpointSaver,
+        load_checkpoint,
+    )
+
+    trees = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "batch_stats": {},
+        "ema_params": {"w": jnp.ones((2, 3))},
+        "opt_state": None,
+    }
+    host_kw = dict(step=3, epoch=1, best_fitness=0.5,
+                   train_args={"imgsz": 64}, model_yaml={"nc": 2},
+                   names={0: "a"})
+    saver = AsyncCheckpointSaver()
+    p1, p2 = tmp_path / "last.ckpt", tmp_path / "best.ckpt"
+    saver.submit([p1, p2], trees, host_kw)
+    # second submit must join the first (ordering) and win on last.ckpt
+    trees2 = dict(trees, params={"w": jnp.full((2, 3), 7.0)})
+    saver.submit([p1], trees2, dict(host_kw, epoch=2))
+    saver.wait()
+    c1, c2 = load_checkpoint(p1), load_checkpoint(p2)
+    assert c1["epoch"] == 2 and c2["epoch"] == 1
+    np.testing.assert_allclose(c1["params"]["w"], 7.0)
+    np.testing.assert_allclose(c2["params"]["w"],
+                               np.arange(6.0).reshape(2, 3))

@@ -465,6 +465,8 @@ class BaseTrainer:
                 LOGGER.info(f"early stopping at epoch {epoch + 1} (patience {args.patience})")
                 break
 
+        if hasattr(self, "_saver"):
+            self._saver.wait()  # drain the async save before reading ckpts
         self.run_callbacks("on_train_end")
         if args.plots and self.csv.exists():
             from ..utils.plotting import plot_results
@@ -511,11 +513,13 @@ class BaseTrainer:
         return fitness
 
     def _save(self, state: TrainState, epoch: int, fitness: float):
-        kw = dict(
+        trees = dict(
             params=state.params,
             batch_stats=state.batch_stats,
             ema_params=state.ema_params,
             opt_state=state.opt_state,
+        )
+        host_kw = dict(
             step=int(state.step),
             epoch=epoch,
             best_fitness=self.best_fitness,
@@ -523,11 +527,22 @@ class BaseTrainer:
             model_yaml=self.model.yaml,
             names=self.model.names,
         )
-        save_checkpoint(self.wdir / "last.ckpt", **kw)
+        paths = [self.wdir / "last.ckpt"]
         if fitness >= self.best_fitness:
-            save_checkpoint(self.wdir / "best.ckpt", **kw)
+            paths.append(self.wdir / "best.ckpt")
         if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
-            save_checkpoint(self.wdir / f"epoch{epoch + 1}.ckpt", **kw)
+            paths.append(self.wdir / f"epoch{epoch + 1}.ckpt")
+        if getattr(self.args, "async_save", True):
+            # overlap the device->host readback with the next epoch
+            # (utils/checkpoint.py AsyncCheckpointSaver)
+            if not hasattr(self, "_saver"):
+                from ..utils.checkpoint import AsyncCheckpointSaver
+
+                self._saver = AsyncCheckpointSaver()
+            self._saver.submit(paths, trees, host_kw)
+        else:
+            for p in paths:
+                save_checkpoint(p, **trees, **host_kw)
 
     def _write_csv(self, epoch: int, metrics: Dict[str, float]):
         self.csv.parent.mkdir(parents=True, exist_ok=True)

@@ -53,9 +53,59 @@ def save_checkpoint(
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as fh:
+    # atomic write: a crash mid-readback/pickle never corrupts an existing
+    # last.ckpt (resume reads it)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as fh:
         pickle.dump(ckpt, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    tmp.replace(path)
     return path
+
+
+class AsyncCheckpointSaver:
+    """Overlap the checkpoint's device->host readback with training.
+
+    ``save_checkpoint`` blocks on a full state readback — tens of MB that
+    ride the TPU tunnel on this repo's target deployment, comparable to an
+    entire small-dataset epoch (docs/PERF_NOTES.md). ``submit`` instead
+    copies the state trees ON-DEVICE (one tiny fused program; the copies are
+    immune to the next train step's buffer donation) and hands them to a
+    single worker thread that pulls them to host and writes every requested
+    path while the next epoch trains. Saves stay ordered: ``submit`` joins
+    the previous pending save first; call ``wait()`` before reading the
+    files (end of training, strip_optimizer, resume)."""
+
+    def __init__(self):
+        self._thread = None
+
+    @staticmethod
+    @jax.jit
+    def _device_copy(trees):
+        # a.copy() inside jit lowers to a device-side copy; jit outputs are
+        # fresh buffers with the inputs' shardings
+        return jax.tree_util.tree_map(lambda a: a.copy(), trees)
+
+    def submit(self, paths, trees, host_kw):
+        """paths: list of destination files written from ONE snapshot;
+        trees: dict of device pytrees (params/batch_stats/ema_params/
+        opt_state); host_kw: the remaining save_checkpoint kwargs."""
+        import threading
+
+        self.wait()
+        copies = self._device_copy(trees)
+
+        def run():
+            host = {k: _to_numpy(v) for k, v in copies.items()}  # one readback
+            for p in paths:
+                save_checkpoint(p, **host, **host_kw)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
 
 
 def load_checkpoint(path) -> Dict[str, Any]:
