@@ -185,3 +185,41 @@ def test_validator_eval_fn_cached_across_calls(monkeypatch):
     key2 = (id(m), 4, 128, v.args.max_det, v.args.conf, v.args.iou, 4096)
     f3 = v._cached_eval_fn(key2, lambda: counting(v, m, 4, 128))
     assert f3 is not f1 and calls["n"] == 2
+
+
+def test_dispatch_eval_mixed_instance_buckets():
+    """Grouped val dispatch must re-pad label arrays when batches land in
+    different instance buckets (collate trims per batch) — regression for a
+    np.stack shape crash on datasets whose GT counts straddle a bucket."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.engine.validator import BaseValidator
+
+    v = BaseValidator(args=get_cfg(dict(task="detect", val_dispatch_group=4)))
+
+    def make_batch(n_inst, fill):
+        return {
+            "img": np.full((2, 8, 8, 3), fill, np.float32),
+            "bboxes": np.full((2, n_inst, 4), fill, np.float32),
+            "mask_gt": np.zeros((2, n_inst), bool),
+            "cls": np.zeros((2, n_inst), np.int32),
+        }
+
+    loader = [make_batch(8, 1.0), make_batch(16, 2.0), make_batch(8, 3.0)]
+
+    def build():
+        def core(variables, img, bboxes, mask_gt):
+            return {"s": bboxes.sum(axis=(1, 2)) + variables}
+
+        return core
+
+    fns = v._wrap_eval_core(("k",), build)
+    rows = list(v._dispatch_eval(loader, jnp.zeros(()), fns,
+                                 ("img", "bboxes", "mask_gt")))
+    assert len(rows) == 3
+    for (batch, out, nv), fill, n_inst in zip(rows, (1.0, 2.0, 3.0), (8, 16, 8)):
+        # all batches re-padded to the group max (16), values preserved
+        assert batch["bboxes"].shape == (2, 16, 4)
+        np.testing.assert_allclose(out["s"], fill * n_inst * 4)

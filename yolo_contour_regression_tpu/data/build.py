@@ -223,15 +223,28 @@ class DevicePoolLoader:
 
         Each epoch emits ``steps // k`` full groups then one remainder group
         (so a consumer chunking ``len(self)`` steps by ``k`` sees matching
-        shapes — at most two compiled variants). Labels are collated without
-        per-batch instance bucketing, then the whole group is trimmed to the
-        smallest shared bucket, keeping the assigner's shape-driven cost
-        bounded the same way the per-batch loader does (augment.collate)."""
+        shapes — at most two compiled variants of the K-step scanned train
+        program). Labels are collated without per-batch instance bucketing,
+        then trimmed to ONE dataset-wide bucket (smallest of 8/16/32/max
+        covering the busiest image) — per-group caps would multiply the
+        compile count by up to 4, and each variant is a full K-step XLA
+        graph; a global cap keeps the assigner's shape-driven cost tight
+        without that."""
         from .augment import INSTANCE_BUCKETS
 
         B = self.batch_size
         P_ = len(self.labels)
         steps = P_ // B
+        n_pad = int(self.labels[0]["mask_gt"].shape[0]) if (self.labels and "mask_gt" in self.labels[0]) else 0
+        cap = n_pad
+        if n_pad:
+            n_act = max(
+                (int(lab["mask_gt"].sum()) for lab in self.labels), default=0
+            )
+            for b in INSTANCE_BUCKETS:
+                if n_act <= b < n_pad:
+                    cap = b
+                    break
         while True:
             order = list(range(P_))
             if self.shuffle:
@@ -244,18 +257,10 @@ class DevicePoolLoader:
                     for sel in group
                 ]
                 stacked = {key: np.stack([l[key] for l in labs]) for key in labs[0]}
-                if "mask_gt" in stacked:
-                    n_pad = stacked["mask_gt"].shape[2]
-                    n_act = int(stacked["mask_gt"].sum(axis=2).max()) if stacked["mask_gt"].size else 0
-                    cap = n_pad
-                    for b in INSTANCE_BUCKETS:
-                        if n_act <= b < n_pad:
-                            cap = b
-                            break
-                    if cap < n_pad:
-                        for key in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
-                            if key in stacked and stacked[key].ndim >= 3 and stacked[key].shape[2] == n_pad:
-                                stacked[key] = stacked[key][:, :, :cap]
+                if cap and cap < n_pad:
+                    for key in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
+                        if key in stacked and stacked[key].ndim >= 3 and stacked[key].shape[2] == n_pad:
+                            stacked[key] = stacked[key][:, :, :cap]
                 yield np.asarray(group, np.int32), stacked
 
 

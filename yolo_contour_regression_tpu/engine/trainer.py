@@ -45,15 +45,22 @@ from .step import (
 )
 
 
-def _stack_raw_batches(data_iter, n: int):
-    """Pull ``n`` raw-mode batches off the loader and stack them into
-    (n, B, ...) arrays for one multi-step dispatch (stacked mode). Instance
-    buckets (data/augment.py collate) can differ across batches, so label
-    instance axes are re-padded to the group max first."""
+def _stack_raw_batches(data_iter, n: int, pad_to: Optional[int] = None):
+    """Pull ``n`` batches off the loader and stack them into (n, B, ...)
+    arrays — used by both multi-step dispatch (stacked mode) and grad
+    accumulation. Instance buckets (data/augment.py collate) can differ
+    across batches, so label instance axes are re-padded to the group max.
+    Images stack with jnp when they are committed device arrays
+    (cache='device'): np.stack would silently read the batch back to host."""
     micro = [next(data_iter) for _ in range(n)]
     imgs = [m.pop("img") for m in micro]
     if "mask_gt" in micro[0]:
         n_max = max(m["mask_gt"].shape[1] for m in micro)
+        if pad_to is not None:
+            # fixed pad target -> ONE label shape across all groups, so the
+            # K-step scanned program compiles once per group size instead of
+            # once per instance bucket it happens to hit
+            n_max = max(n_max, pad_to)
         for m in micro:
             pad = n_max - m["mask_gt"].shape[1]
             if pad:
@@ -63,7 +70,8 @@ def _stack_raw_batches(data_iter, n: int):
                             m[k], [(0, 0), (0, pad)] + [(0, 0)] * (m[k].ndim - 2)
                         )
     labels = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
-    return np.stack(imgs), labels
+    images = (np if isinstance(imgs[0], np.ndarray) else jnp).stack(imgs)
+    return images, labels
 
 
 class EarlyStopping:
@@ -277,6 +285,22 @@ class BaseTrainer:
             batch_bytes = args.batch * args.imgsz * args.imgsz * 3
             K = max(1, min(K, (512 * 1024**2) // max(batch_bytes, 1)))
         multistep = K > 1 and accumulate == 1 and raw_mode
+        stack_pad = None
+        if multistep and not pool_mode and getattr(train_set, "labels", None):
+            # dataset-wide instance bucket: one label shape for every stacked
+            # group (see _stack_raw_batches pad_to)
+            from ..data.augment import INSTANCE_BUCKETS
+
+            n_act = max(
+                (int(np.asarray(lab.get("cls", ())).size)
+                 for lab in train_set.labels),
+                default=0,
+            )
+            stack_pad = int(getattr(args, "max_instances", 48))
+            for b in INSTANCE_BUCKETS:
+                if n_act <= b < stack_pad:
+                    stack_pad = b
+                    break
 
         def build_multi(augment_fn):
             return make_multi_train_step(
@@ -301,10 +325,13 @@ class BaseTrainer:
                 if n_used > 1:
                     # the pool lives on one device after staging; replicate it
                     # across the mesh like params (batch gathers re-shard
-                    # inside the scan body)
+                    # inside the scan body). Rebind the loader's reference so
+                    # the single-device original is freed — otherwise device 0
+                    # carries TWO pool copies (up to 12 GB) all run
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
                     pool = jax.device_put(pool, NamedSharding(mesh, P()))
+                    loader.images = pool
 
         validator = self.get_validator() if args.val else None
         stopper = EarlyStopping(args.patience)
@@ -353,7 +380,9 @@ class BaseTrainer:
                         kk = idxs.shape[0]
                     else:
                         kk = min(K, steps_per_epoch - done)
-                        images_s, labels = _stack_raw_batches(data_iter, kk)
+                        images_s, labels = _stack_raw_batches(
+                            data_iter, kk, pad_to=stack_pad
+                        )
                     if args.plots and not first_batch_plotted and args.task != "classify":
                         from ..utils.plotting import plot_images
 
@@ -373,11 +402,15 @@ class BaseTrainer:
                     else:
                         state, smetrics = multi_fn(state, images_s, labels)
                     done += kk
-                losses = np.asarray(smetrics["loss"])
-                if not np.isfinite(losses).all():
-                    raise FloatingPointError(
-                        f"non-finite loss at epoch {epoch}: {losses.tolist()}"
-                    )
+                    # per-dispatch divergence check (the per-step loop checks
+                    # every 50 steps; here one host sync per K steps is cheap
+                    # next to the dispatch itself)
+                    losses = np.asarray(smetrics["loss"])
+                    if not np.isfinite(losses).all():
+                        raise FloatingPointError(
+                            f"non-finite loss at epoch {epoch} steps "
+                            f"{done - kk}..{done}: {losses.tolist()}"
+                        )
                 epoch_metrics = {k: float(np.asarray(v)[-1]) for k, v in smetrics.items()}
                 dt = time.time() - t0
                 log = {f"train/{k}": v for k, v in epoch_metrics.items()}
@@ -395,30 +428,9 @@ class BaseTrainer:
                 continue
             for i in range(steps_per_epoch):
                 if accumulate > 1:
-                    micro = [next(data_iter) for _ in range(accumulate)]
-                    # img popped FIRST: with cache='device' it is a committed
-                    # device array — np.stack on it would silently read the
-                    # whole batch back to host
-                    imgs = [m.pop("img") for m in micro]
-                    # instance-axis buckets can differ across micro-batches
-                    # (data/augment.py collate); re-pad to the max bucket
-                    if "mask_gt" in micro[0]:
-                        n_max = max(m["mask_gt"].shape[1] for m in micro)
-                        for m in micro:
-                            pad = n_max - m["mask_gt"].shape[1]
-                            if pad:
-                                for k in ("cls", "bboxes", "segments",
-                                          "mask_gt", "keypoints"):
-                                    if k in m:
-                                        m[k] = np.pad(
-                                            m[k],
-                                            [(0, 0), (0, pad)]
-                                            + [(0, 0)] * (m[k].ndim - 2),
-                                        )
-                    batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
-                    images = (np if isinstance(imgs[0], np.ndarray) else jnp).stack(imgs)
-                    pbatch = dict(micro[0])
-                    pimg = imgs[0]
+                    images, batch = _stack_raw_batches(data_iter, accumulate)
+                    pbatch = {k: v[0] for k, v in batch.items()}
+                    pimg = images[0]
                 else:
                     batch = next(data_iter)
                     images = batch.pop("img")

@@ -192,6 +192,21 @@ class BaseValidator:
                 )
                 outs = {k: np.asarray(v)[None] for k, v in out.items()}
             else:
+                # instance-bucketed collate (data/augment.py) can give the
+                # batches different label pads — re-pad to the group max
+                # before stacking (same as the trainer's _stack_raw_batches)
+                for key in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
+                    if key not in buf[0][1]:
+                        continue
+                    n_max = max(b[key].shape[1] for _, b in buf)
+                    for _, b in buf:
+                        pad = n_max - b[key].shape[1]
+                        if pad:
+                            b[key] = np.pad(
+                                b[key],
+                                [(0, 0), (0, pad)]
+                                + [(0, 0)] * (b[key].ndim - 2),
+                            )
                 out = fns["scan"](
                     variables,
                     *(jnp.asarray(np.stack([np.asarray(b[k]) for _, b in buf]))

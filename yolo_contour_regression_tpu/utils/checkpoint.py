@@ -77,6 +77,7 @@ class AsyncCheckpointSaver:
 
     def __init__(self):
         self._thread = None
+        self._error: Optional[BaseException] = None
 
     @staticmethod
     @jax.jit
@@ -95,17 +96,25 @@ class AsyncCheckpointSaver:
         copies = self._device_copy(trees)
 
         def run():
-            host = {k: _to_numpy(v) for k, v in copies.items()}  # one readback
-            for p in paths:
-                save_checkpoint(p, **host, **host_kw)
+            try:
+                host = {k: _to_numpy(v) for k, v in copies.items()}  # one readback
+                for p in paths:
+                    save_checkpoint(p, **host, **host_kw)
+            except BaseException as e:  # surfaced by the next submit()/wait()
+                self._error = e
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
 
     def wait(self):
+        """Join the pending save; re-raises any writer-thread failure (a
+        silently-lost checkpoint must not look like a successful save)."""
         t, self._thread = self._thread, None
         if t is not None:
             t.join()
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from e
 
 
 def load_checkpoint(path) -> Dict[str, Any]:
