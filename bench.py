@@ -65,6 +65,18 @@ def measure(batch: int) -> dict:
     from yolo_contour_regression_tpu.nn.fuse import fuse_variables
 
     variables, model = fuse_variables(model, variables)
+    if os.environ.get("BENCH_INT8"):
+        # opt-in native w8a8 path (nn/quant.py): int8 convs on the MXU.
+        # Random-image calibration is fine for throughput (scales only
+        # affect accuracy); measured ~lossless on the floor ckpt
+        # (tests/test_quant.py)
+        from yolo_contour_regression_tpu.nn.quant import quantize_variables
+
+        calib = np.random.default_rng(1).uniform(0, 1, (2, imgsz, imgsz, 3))
+        variables, model = quantize_variables(
+            model, variables, [calib.astype(np.float32)]
+        )
+        model_name += "-int8"
 
     def one_iter(variables, raw_u8, acc):
         from yolo_contour_regression_tpu.nn.modules.head import (

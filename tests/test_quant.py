@@ -1,0 +1,102 @@
+"""Native w8a8 int8 inference (nn/quant.py): numerics of the quantized conv
+path and end-to-end mAP on the committed floor checkpoint."""
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_quant_conv_matches_f32():
+    """One deploy Conv: int8 per-channel weights + calibrated input scale
+    reproduce the f32 output to ~1% relative error, and the int8 kernel
+    actually flows through the int8 conv path."""
+    from yolo_contour_regression_tpu.nn.modules.conv import (
+        Conv,
+        deploy_mode,
+        quant_calibration,
+        quant_mode,
+    )
+    from yolo_contour_regression_tpu.nn.quant import quantize_tree
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 8)).astype(np.float32))
+    mod = Conv(c2=12, k=3, act=False)
+    with deploy_mode(True):
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        yf = mod.apply(variables, x)
+        cal = {}
+        with quant_calibration(cal):
+            mod.apply(variables, x)
+    assert list(cal) == [""]  # top-level module path
+    qtree, n_q, n_skip = quantize_tree(dict(variables["params"]), cal)
+    assert n_q == 1 and n_skip == 0
+    assert qtree["conv"]["kernel"].dtype == jnp.int8
+    with deploy_mode(True), quant_mode(True):
+        yq = mod.apply({"params": qtree}, x)
+    err = float(jnp.abs(yq - yf).max() / (jnp.abs(yf).max() + 1e-8))
+    assert err < 0.02, f"int8 conv error {err:.4f}"
+
+
+def test_quantize_tree_skips_depthwise():
+    from yolo_contour_regression_tpu.nn.modules.conv import (
+        DWConv,
+        deploy_mode,
+        quant_calibration,
+    )
+    from yolo_contour_regression_tpu.nn.quant import quantize_tree
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 6)).astype(np.float32))
+    mod = DWConv(c2=6, k=3)
+    with deploy_mode(True):
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        cal = {}
+        with quant_calibration(cal):
+            mod.apply(variables, x)
+    qtree, n_q, n_skip = quantize_tree(dict(variables["params"]), cal)
+    assert n_q == 0 and n_skip == 1
+    assert qtree["dw"]["conv"]["kernel"].dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_quantized_floor_checkpoint_map(tmp_path):
+    """Fuse + int8-quantize the committed seg floor checkpoint (calibrated on
+    its own val images) and assert the quantized model still clears the
+    committed mAP floor — the end-to-end accuracy contract for the int8
+    deploy path."""
+    import cv2
+
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    ckpt = ROOT / "runs" / "floor" / "best.ckpt"
+    record_p = ROOT / "runs" / "floor" / "floor.json"
+    if not (ckpt.exists() and record_p.exists()):
+        pytest.skip("committed floor checkpoint missing")
+    record = json.loads(record_p.read_text())
+    cfg = record["config"]
+    yaml_path = make_shape_dataset(
+        tmp_path / "ds", n_train=cfg["n_train"], n_val=cfg["n_val"],
+        imgsz=cfg["imgsz"], seed=cfg["seed"],
+    )
+    val_dir = Path(str(yaml_path)).parent / "images" / "val"
+    imgs = [
+        cv2.imread(str(p))[..., ::-1].astype(np.float32) / 255.0
+        for p in sorted(val_dir.glob("*.jpg"))[:8]
+    ]
+    calib = [np.stack(imgs[:4]), np.stack(imgs[4:8])]
+
+    m = YOLO(str(ckpt))
+    m.quantize(calib)
+    assert getattr(m.model, "quantized", False)
+    res = m.val(data=str(yaml_path), imgsz=cfg["imgsz"], batch=4,
+                project=str(tmp_path / "runs"))
+    floor_m = record["floor"]["mask_mAP50-95"]
+    assert res["metrics/mAP50-95(M)"] >= floor_m, (
+        f"int8 mask mAP {res['metrics/mAP50-95(M)']:.4f} < floor {floor_m}"
+    )

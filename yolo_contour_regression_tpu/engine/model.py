@@ -262,6 +262,21 @@ class YOLO:
         self.variables, self.model = fuse_variables(self.model, self.variables)
         return self
 
+    def quantize(self, calib_batches):
+        """Native w8a8 int8 PTQ for deploy (nn/quant.py): fuses first if
+        needed, calibrates input scales on ``calib_batches`` (iterable of
+        (B, H, W, 3) float arrays in [0, 1]), and swaps in int8 conv kernels
+        that run on the MXU int8 path. Inference-only afterwards."""
+        from ..nn.quant import quantize_variables
+
+        self._ensure_variables()
+        if not getattr(self.model, "deploy", False):
+            self.fuse()
+        self.variables, self.model = quantize_variables(
+            self.model, self.variables, calib_batches
+        )
+        return self
+
     # -- reference-facade compatibility (reference engine/model.py) -----------
     def load(self, weights: str):
         """Load weights into the current architecture (reference :178)."""

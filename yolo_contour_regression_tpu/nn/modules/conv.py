@@ -20,6 +20,7 @@ import contextlib
 from contextvars import ContextVar
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -40,6 +41,96 @@ def deploy_mode(on: bool = True):
 
 def in_deploy_mode() -> bool:
     return _DEPLOY.get()
+
+
+# w8a8 quantized deploy mode (nn/quant.py): deploy convs whose param scope
+# carries int8 kernels + scales run on the int8 MXU path. Orthogonal to
+# _DEPLOY (quant implies deploy).
+_QUANT: ContextVar = ContextVar("ycr_quant_mode", default=False)
+# calibration capture: a dict {module-path: input absmax} filled during an
+# eager calibration pass (nn/quant.py quantize_variables)
+_QCAL: ContextVar = ContextVar("ycr_quant_calib", default=None)
+
+
+@contextlib.contextmanager
+def quant_mode(on: bool = True):
+    tok = _QUANT.set(on)
+    try:
+        yield
+    finally:
+        _QUANT.reset(tok)
+
+
+def in_quant_mode() -> bool:
+    return _QUANT.get()
+
+
+@contextlib.contextmanager
+def quant_calibration(store: dict):
+    tok = _QCAL.set(store)
+    try:
+        yield
+    finally:
+        _QCAL.reset(tok)
+
+
+class _DeployConvParams(nn.Module):
+    """Owns the deploy conv's parameters under the same ``conv/{kernel,bias}``
+    paths nn.Conv used, plus the optional quantization extras
+    (``w_scale`` per-out-channel, ``x_scale`` scalar) that nn/quant.py adds."""
+
+    c2: int
+    kshape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), tuple(self.kshape), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.c2,), jnp.float32)
+        if self.has_variable("params", "w_scale"):
+            w_scale = self.param("w_scale", nn.initializers.ones_init(), (self.c2,), jnp.float32)
+            x_scale = self.param("x_scale", nn.initializers.ones_init(), (), jnp.float32)
+            return kernel, bias, w_scale, x_scale
+        return kernel, bias, None, None
+
+
+def deploy_conv(mod: nn.Module, x, c2: int, k: int, s: int, p: int, g: int = 1,
+                d: int = 1, dtype=jnp.float32):
+    """The fused conv+bias every deploy branch (Conv/Conv2/RepConv) runs.
+
+    Three modes on one param layout:
+      - plain deploy: f32/bf16 ``lax.conv`` (same math nn.Conv did)
+      - calibration (``quant_calibration``): record the input absmax per
+        module path for nn/quant.py, then run the plain conv (eager only)
+      - quant (``quant_mode`` + int8 kernel in the tree): quantize the input
+        with the calibrated ``x_scale``, run the conv as s8 x s8 -> s32 on
+        the MXU (2x the bf16 peak on v5e), dequantize with
+        ``x_scale * w_scale`` per channel and add the f32 bias.
+    """
+    c1 = x.shape[-1]
+    kernel, bias, w_scale, x_scale = _DeployConvParams(
+        c2, (k, k, c1 // g, c2), name="conv"
+    )()
+    cal = _QCAL.get()
+    if cal is not None:
+        key = "/".join(mod.path)
+        cal[key] = max(cal.get(key, 0.0), float(jnp.max(jnp.abs(x))))
+    dn = ("NHWC", "HWIO", "NHWC")
+    pad = [(p, p), (p, p)]
+    if in_quant_mode() and w_scale is not None and kernel.dtype == jnp.int8:
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x_q, kernel, (s, s), pad, rhs_dilation=(d, d),
+            feature_group_count=g, dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * (x_scale * w_scale) + bias).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (s, s), pad, rhs_dilation=(d, d),
+        feature_group_count=g, dimension_numbers=dn,
+    )
+    return y + bias.astype(dtype)
 
 # The fork switched the default activation from SiLU to ReLU (conv.py:28,158).
 DEFAULT_ACT = "relu"
@@ -87,12 +178,8 @@ class Conv(nn.Module):
     def __call__(self, x, train: bool = False):
         p = autopad(self.k, self.p, self.d)
         if in_deploy_mode():
-            x = nn.Conv(
-                self.c2, (self.k, self.k), strides=(self.s, self.s),
-                padding=[(p, p), (p, p)], feature_group_count=self.g,
-                kernel_dilation=(self.d, self.d), use_bias=True,
-                dtype=self.dtype, name="conv",
-            )(x)
+            x = deploy_conv(self, x, self.c2, self.k, self.s, p, self.g,
+                            self.d, dtype=self.dtype)
             return get_act(self.act)(x)
         x = nn.Conv(
             self.c2,
@@ -134,11 +221,8 @@ class Conv2(nn.Module):
     def __call__(self, x, train: bool = False):
         p = autopad(self.k, self.p, self.d)
         if in_deploy_mode():
-            y = nn.Conv(
-                self.c2, (self.k, self.k), strides=(self.s, self.s),
-                padding=[(p, p), (p, p)], feature_group_count=self.g,
-                use_bias=True, dtype=self.dtype, name="conv",
-            )(x)
+            y = deploy_conv(self, x, self.c2, self.k, self.s, p, self.g,
+                            dtype=self.dtype)
             return get_act(self.act)(y)
         y = nn.Conv(
             self.c2,
@@ -307,11 +391,8 @@ class RepConv(nn.Module):
     def __call__(self, x, train: bool = False):
         assert self.k == 3
         if in_deploy_mode():
-            y = nn.Conv(
-                self.c2, (3, 3), strides=(self.s, self.s), padding=[(1, 1), (1, 1)],
-                feature_group_count=self.g, use_bias=True, dtype=self.dtype,
-                name="conv",
-            )(x)
+            y = deploy_conv(self, x, self.c2, 3, self.s, 1, self.g,
+                            dtype=self.dtype)
             return get_act(self.act)(y)
         c1 = x.shape[-1]
         bn_kw = dict(

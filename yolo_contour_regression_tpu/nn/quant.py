@@ -1,0 +1,105 @@
+"""Native w8a8 quantized inference — int8 convs on the MXU.
+
+The v5e MXU runs s8 x s8 -> s32 matmuls/convs at 2x its bf16 peak (394 vs
+197 TOPS), and int8 kernels halve weight HBM traffic. This module
+post-training-quantizes a FUSED deploy model (nn/fuse.py) in place:
+
+  1. **Calibrate**: run a few batches through the deploy model eagerly with
+     ``quant_calibration`` capturing each deploy conv's input absmax
+     (modules/conv.py deploy_conv).
+  2. **Quantize**: per conv, symmetric per-out-channel weight scales
+     (``w_scale = absmax(kernel, axis=(0,1,2)) / 127``) and a symmetric
+     scalar input scale (``x_scale = absmax(input) / 127``); the tree's f32
+     kernel is replaced by the int8 kernel and the scales join it under the
+     same ``conv`` scope. Depthwise convs (kernel in-channels == 1) stay
+     f32 — they never hit the MXU and contribute negligible FLOPs.
+  3. **Run**: the returned model enters ``quant_mode`` so ``deploy_conv``
+     takes the int8 path: quantize input -> int8 conv (int32 accum) ->
+     dequantize with ``x_scale * w_scale`` -> f32 bias -> activation.
+     Layer interchange stays f32/bf16, so heads/decode/NMS are untouched.
+
+This is the reference exporter's int8 story (TensorRT / tflite-int8 PTQ,
+exporter.py) rebuilt as a first-class on-device path — no vendor SDK, same
+representative-data calibration idea. Accuracy is validated against the
+committed floor checkpoint in tests/test_quant.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def calibrate(deploy_model, variables, calib_batches: Iterable) -> Dict[str, float]:
+    """Run batches through the fused model EAGERLY, recording each deploy
+    conv's input absmax keyed by module path. Returns the capture dict."""
+    from .modules.conv import quant_calibration
+
+    cal: Dict[str, float] = {}
+    with quant_calibration(cal):
+        for x in calib_batches:
+            deploy_model.raw_forward(variables, jnp.asarray(x), train=False)
+    if not cal:
+        raise ValueError(
+            "calibration saw no deploy convs — pass a FUSED model "
+            "(nn.fuse.fuse_variables) and at least one batch"
+        )
+    return cal
+
+
+def quantize_tree(params: Dict, cal: Dict[str, float]) -> Tuple[Dict, int, int]:
+    """Return a copy of the fused param tree with int8 kernels + scales for
+    every calibrated conv; (tree, n_quantized, n_skipped)."""
+    import copy
+
+    out = copy.deepcopy(params)
+    n_q = n_skip = 0
+    for key, absmax in cal.items():
+        node = out
+        for part in (p for p in key.split("/") if p):  # "" = top-level module
+            node = node[part]
+        conv = node["conv"]
+        kernel = np.asarray(conv["kernel"], np.float32)
+        if kernel.shape[2] == 1 and kernel.shape[3] > 1:
+            # depthwise (in-channels-per-group == 1): VPU work, skip
+            n_skip += 1
+            continue
+        w_scale = np.maximum(
+            np.abs(kernel).max(axis=(0, 1, 2)) / 127.0, 1e-8
+        ).astype(np.float32)
+        k_q = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
+        conv["kernel"] = jnp.asarray(k_q)
+        conv["w_scale"] = jnp.asarray(w_scale)
+        conv["x_scale"] = jnp.asarray(np.float32(max(absmax / 127.0, 1e-8)))
+        n_q += 1
+    return out, n_q, n_skip
+
+
+def quantize_variables(deploy_model, variables, calib_batches: Iterable):
+    """(fused model, {params}, batches) -> ({params}, quantized model).
+
+    The returned model's raw_forward runs inside ``quant_mode`` (on top of
+    deploy mode), so every conv whose scope carries an int8 kernel takes the
+    MXU int8 path. Unquantized scopes (depthwise, heads) run unchanged."""
+    import copy
+
+    from ..utils import LOGGER
+
+    cal = calibrate(deploy_model, variables, calib_batches)
+    qparams, n_q, n_skip = quantize_tree(variables["params"], cal)
+    LOGGER.info(f"quantized {n_q} convs to int8 ({n_skip} depthwise kept f32)")
+
+    q_model = copy.copy(deploy_model)
+    q_model.quantized = True
+    base_raw_forward = type(deploy_model).raw_forward
+
+    def quant_raw_forward(self, variables, x, train: bool = False):
+        from .modules.conv import deploy_mode, quant_mode
+
+        assert not train, "quantized models are inference-only"
+        with deploy_mode(True), quant_mode(True):
+            return base_raw_forward(self, variables, x, train=False)
+
+    q_model.raw_forward = quant_raw_forward.__get__(q_model)
+    return {"params": qparams}, q_model
