@@ -488,6 +488,20 @@ class BaseTrainer:
         if args.save and (self.wdir / "best.ckpt").exists():
             strip_optimizer(self.wdir / "best.ckpt")
             strip_optimizer(self.wdir / "last.ckpt")
+            if validator is not None and jax.process_index() == 0:
+                # final_eval (reference trainer.py:579): re-validate the
+                # stripped best checkpoint so the returned metrics describe
+                # best.ckpt, not the last epoch's EMA
+                best = load_checkpoint(self.wdir / "best.ckpt")
+                LOGGER.info("final eval of best.ckpt")
+                self.metrics = validator(
+                    model=self.model,
+                    variables={
+                        "params": best["params"],
+                        "batch_stats": best["batch_stats"],
+                    },
+                    data=data,
+                )
         self.state = state
         return self.metrics
 
