@@ -196,8 +196,8 @@ class BaseValidator:
                 # batches different label pads — re-pad to the group max
                 # before stacking (same as the trainer's _stack_raw_batches)
                 for key in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
-                    if key not in buf[0][1]:
-                        continue
+                    if key not in buf[0][1] or buf[0][1][key].ndim < 2:
+                        continue  # classify: cls is (B,), no instance axis
                     n_max = max(b[key].shape[1] for _, b in buf)
                     for _, b in buf:
                         pad = n_max - b[key].shape[1]
@@ -807,21 +807,18 @@ class ClassificationValidator(BaseValidator):
         metrics = ClassifyMetrics()
 
         def _build():
-            @jax.jit
             def eval_fn(variables, images):
-                return model.predict(variables, images)
+                # unjitted core — _wrap_eval_core jits it single and scanned
+                return {"preds": model.predict(variables, images)}
 
             return eval_fn
 
-        eval_fn = self._cached_eval_fn((id(model), args.imgsz), _build)
+        fns = self._wrap_eval_core((id(model), args.imgsz), _build)
 
         t0 = time.time()
         n = 0
-        for batch in loader:
-            B = batch["img"].shape[0]
-            nv = min(int(batch.pop("n_valid", B)), B)
-            preds = np.asarray(eval_fn(variables, jnp.asarray(batch["img"])))
-            metrics.update(preds[:nv], np.asarray(batch["cls"])[:nv])
+        for batch, out, nv in self._dispatch_eval(loader, variables, fns, ("img",)):
+            metrics.update(out["preds"][:nv], np.asarray(batch["cls"])[:nv])
             n += nv
         res = metrics.results_dict
         LOGGER.info(
