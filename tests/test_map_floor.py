@@ -134,3 +134,27 @@ def test_committed_seg160_floor(tmp_path):
         assert res[key] >= record["floor"][name]
     # the reference CI bar itself
     assert res["metrics/mAP50-95(M)"] >= 0.30
+
+
+def test_floor_records_large_sample_evidence():
+    """Every committed floor.json carrying a 64-image re-validation must show
+    those larger-sample metrics clearing the committed floor — answers the
+    'small-sample mAP is noisy' review without re-running val."""
+    found = 0
+    for d in ROOT.glob("runs/floor*"):
+        rec_p = d / "floor.json"
+        if not rec_p.exists():
+            continue
+        rec = json.loads(rec_p.read_text())
+        fv64 = rec.get("final_val_64")
+        if not fv64:
+            continue
+        found += 1
+        keys = rec.get("floor_keys") or {
+            "metrics/mAP50-95(M)": "mask_mAP50-95",
+            "metrics/mAP50-95(B)": "box_mAP50-95",
+        }
+        for key, name in keys.items():
+            if key in fv64 and name in rec["floor"]:
+                assert fv64[key] >= rec["floor"][name], (d.name, key, fv64[key])
+    assert found >= 4  # seg/detect/pose/classify recorded
