@@ -100,3 +100,25 @@ def test_quantized_floor_checkpoint_map(tmp_path):
     assert res["metrics/mAP50-95(M)"] >= floor_m, (
         f"int8 mask mAP {res['metrics/mAP50-95(M)']:.4f} < floor {floor_m}"
     )
+
+
+def test_quantized_save_load_roundtrip(tmp_path):
+    """model.quantize -> save -> YOLO(path) restores the int8 deploy model
+    with identical predictions (the reference cannot persist fused/int8
+    state outside vendor formats)."""
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    rng = np.random.default_rng(2)
+    calib = [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)]
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+
+    m = YOLO("yolov8n-seg.yaml")
+    m._ensure_variables(64)
+    m.quantize(calib)
+    y1 = np.asarray(m.model.predict(m.variables, x))
+
+    p = m.save(str(tmp_path / "q.ckpt"))
+    m2 = YOLO(p)
+    assert getattr(m2.model, "quantized", False)
+    y2 = np.asarray(m2.model.predict(m2.variables, x))
+    np.testing.assert_allclose(y2, y1, rtol=1e-5, atol=1e-5)

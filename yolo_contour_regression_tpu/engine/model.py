@@ -128,6 +128,15 @@ class YOLO:
         self.model_cfg = cfg
         self.model = build_model(cfg, task=guess_model_task(cfg))
         self.model.names = ckpt.get("names", self.model.names)
+        deploy = ckpt.get("deploy")
+        if deploy == "fused":
+            from ..nn.fuse import as_deploy_model
+
+            self.model = as_deploy_model(self.model)
+        elif deploy == "int8":
+            from ..nn.quant import as_quantized_model
+
+            self.model = as_quantized_model(self.model)
         import jax
 
         params = ckpt.get("ema_params") or ckpt["params"]
@@ -276,6 +285,35 @@ class YOLO:
             self.model, self.variables, calib_batches
         )
         return self
+
+    def save(self, path: str = "model.ckpt"):
+        """Persist the CURRENT weights — including fused or int8-quantized
+        deploy state (reference Model.save; the reference cannot persist its
+        fused/quantized forms outside vendor formats). Reloadable via
+        ``YOLO(path)``."""
+        from ..utils.checkpoint import save_checkpoint
+
+        self._ensure_variables()
+        deploy = None
+        if getattr(self.model, "quantized", False):
+            deploy = "int8"
+        elif getattr(self.model, "deploy", False):
+            deploy = "fused"
+        save_checkpoint(
+            path,
+            params=self.variables["params"],
+            batch_stats=self.variables.get("batch_stats", {}),
+            ema_params=None,
+            opt_state=None,
+            step=0,
+            epoch=-1,
+            best_fitness=0.0,
+            train_args={"task": self.task, **self.overrides},
+            model_yaml=self.model_cfg if isinstance(self.model_cfg, dict) else self.model.yaml,
+            names=dict(self.names or {}),
+            deploy=deploy,
+        )
+        return path
 
     # -- reference-facade compatibility (reference engine/model.py) -----------
     def load(self, weights: str):

@@ -107,20 +107,14 @@ def fuse_tree(params: Dict, stats: Dict) -> Dict:
     return out
 
 
-def fuse_variables(model, variables) -> Tuple[Dict, Any]:
-    """(model, {params, batch_stats}) -> ({params}, deploy_model).
-
-    The returned model is the same BaseModel subclass wired to trace in deploy
-    mode; its variables have no batch_stats.
-    """
+def as_deploy_model(model):
+    """Wrap a model so raw_forward traces in deploy mode (params must already
+    be a FUSED tree — fuse_variables produces one; loading a checkpoint saved
+    with deploy='fused' restores one)."""
     import copy
 
-    fused_params = fuse_tree(
-        dict(variables["params"]), dict(variables.get("batch_stats", {}))
-    )
     deploy_model = copy.copy(model)
     deploy_model.deploy = True
-
     orig_raw_forward = type(model).raw_forward
 
     def deploy_raw_forward(self, variables, x, train: bool = False):
@@ -131,4 +125,16 @@ def fuse_variables(model, variables) -> Tuple[Dict, Any]:
             return orig_raw_forward(self, variables, x, train=False)
 
     deploy_model.raw_forward = deploy_raw_forward.__get__(deploy_model)
-    return {"params": fused_params}, deploy_model
+    return deploy_model
+
+
+def fuse_variables(model, variables) -> Tuple[Dict, Any]:
+    """(model, {params, batch_stats}) -> ({params}, deploy_model).
+
+    The returned model is the same BaseModel subclass wired to trace in deploy
+    mode; its variables have no batch_stats.
+    """
+    fused_params = fuse_tree(
+        dict(variables["params"]), dict(variables.get("batch_stats", {}))
+    )
+    return {"params": fused_params}, as_deploy_model(model)

@@ -76,23 +76,16 @@ def quantize_tree(params: Dict, cal: Dict[str, float]) -> Tuple[Dict, int, int]:
     return out, n_q, n_skip
 
 
-def quantize_variables(deploy_model, variables, calib_batches: Iterable):
-    """(fused model, {params}, batches) -> ({params}, quantized model).
-
-    The returned model's raw_forward runs inside ``quant_mode`` (on top of
-    deploy mode), so every conv whose scope carries an int8 kernel takes the
-    MXU int8 path. Unquantized scopes (depthwise, heads) run unchanged."""
+def as_quantized_model(model):
+    """Wrap a model so raw_forward traces in deploy+quant mode (params must
+    carry int8 kernels + scales — quantize_variables produces them; loading a
+    checkpoint saved with deploy='int8' restores them)."""
     import copy
 
-    from ..utils import LOGGER
-
-    cal = calibrate(deploy_model, variables, calib_batches)
-    qparams, n_q, n_skip = quantize_tree(variables["params"], cal)
-    LOGGER.info(f"quantized {n_q} convs to int8 ({n_skip} depthwise kept f32)")
-
-    q_model = copy.copy(deploy_model)
+    q_model = copy.copy(model)
+    q_model.deploy = True
     q_model.quantized = True
-    base_raw_forward = type(deploy_model).raw_forward
+    base_raw_forward = type(model).raw_forward
 
     def quant_raw_forward(self, variables, x, train: bool = False):
         from .modules.conv import deploy_mode, quant_mode
@@ -102,4 +95,18 @@ def quantize_variables(deploy_model, variables, calib_batches: Iterable):
             return base_raw_forward(self, variables, x, train=False)
 
     q_model.raw_forward = quant_raw_forward.__get__(q_model)
-    return {"params": qparams}, q_model
+    return q_model
+
+
+def quantize_variables(deploy_model, variables, calib_batches: Iterable):
+    """(fused model, {params}, batches) -> ({params}, quantized model).
+
+    The returned model's raw_forward runs inside ``quant_mode`` (on top of
+    deploy mode), so every conv whose scope carries an int8 kernel takes the
+    MXU int8 path. Unquantized scopes (depthwise, heads) run unchanged."""
+    from ..utils import LOGGER
+
+    cal = calibrate(deploy_model, variables, calib_batches)
+    qparams, n_q, n_skip = quantize_tree(variables["params"], cal)
+    LOGGER.info(f"quantized {n_q} convs to int8 ({n_skip} depthwise kept f32)")
+    return {"params": qparams}, as_quantized_model(deploy_model)

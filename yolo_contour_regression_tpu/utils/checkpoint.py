@@ -36,8 +36,13 @@ def save_checkpoint(
     train_args: Dict[str, Any],
     model_yaml: Dict[str, Any],
     names: Dict[int, str],
+    deploy: Optional[str] = None,
 ):
     ckpt = {
+        # deploy marker: None (train graph) | 'fused' | 'int8' — loaders wrap
+        # the rebuilt model accordingly (nn/fuse.as_deploy_model,
+        # nn/quant.as_quantized_model)
+        "deploy": deploy,
         "epoch": epoch,
         "best_fitness": best_fitness,
         "params": _to_numpy(params),
