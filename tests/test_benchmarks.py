@@ -13,15 +13,15 @@ def test_benchmark_table_native_and_stablehlo(tmp_path):
 
     m = YOLO("yolov8n-seg.yaml")
     rows = benchmark(
-        m, imgsz=64, batch=2, formats=["native", "fused", "stablehlo"],
+        m, imgsz=64, batch=2, formats=["native", "fused", "int8", "stablehlo"],
         project=str(tmp_path), verbose=False,
     )
-    assert [r["format"] for r in rows] == ["native", "fused", "stablehlo"]
+    assert [r["format"] for r in rows] == ["native", "fused", "int8", "stablehlo"]
     for r in rows:
         assert r["status"] == "ok", r
-    assert rows[0]["imgs_per_sec"] > 0 and rows[1]["imgs_per_sec"] > 0
+    assert all(rows[i]["imgs_per_sec"] > 0 for i in (0, 1, 2))
     # exported artifact reproduces the fused prediction
-    assert rows[2]["consistency_maxabs"] < 1e-3
+    assert rows[3]["consistency_maxabs"] < 1e-3
 
 
 @pytest.mark.slow

@@ -108,7 +108,7 @@ def benchmark(
     from . import LOGGER
 
     model._ensure_variables(imgsz)
-    formats = formats or ["native", "fused", "stablehlo", "saved_model", "tflite"]
+    formats = formats or ["native", "fused", "int8", "stablehlo", "saved_model", "tflite"]
     out_dir = Path(project or "runs/benchmark")
     rows: List[Dict] = []
     rng = np.random.default_rng(0)
@@ -121,8 +121,19 @@ def benchmark(
     for fmt in formats:
         row: Dict = {"format": fmt, "imgsz": imgsz, "batch": batch, "status": "ok"}
         try:
-            if fmt in ("native", "fused"):
-                m, v = (model.model, model.variables) if fmt == "native" else (fused_m, fused_v)
+            if fmt in ("native", "fused", "int8"):
+                if fmt == "int8":
+                    # native w8a8 (nn/quant.py): int8 convs on the MXU path,
+                    # calibrated here on one uniform batch (throughput row;
+                    # accuracy-grade calibration wants real images)
+                    from ..nn.quant import quantize_variables
+
+                    v, m = quantize_variables(
+                        fused_m, fused_v,
+                        [rng.uniform(0, 1, (2, imgsz, imgsz, 3)).astype(np.float32)],
+                    )
+                else:
+                    m, v = (model.model, model.variables) if fmt == "native" else (fused_m, fused_v)
                 row.update(_device_loop_throughput(m, v, raw, batch))
                 if data is not None:
                     row["mAP50-95"] = _val_metric(m, v, data, m.task, imgsz)
