@@ -142,8 +142,12 @@ def test_vendor_format_raises_with_recipe():
 @pytest.mark.heavy
 def test_pb_frozen_graph_export(tmp_path):
     """pb = frozen TF GraphDef (reference exporter.py export_pb): the file
-    loads as a GraphDef and contains the graph constants."""
+    loads as a GraphDef, and AutoBackend consumes it (reference
+    nn/autobackend.py pb branch) reproducing the fused native predictions."""
+    import jax.numpy as jnp
+
     from yolo_contour_regression_tpu import YOLO
+    from yolo_contour_regression_tpu.nn.autobackend import AutoBackend
 
     m = YOLO("yolov8n-seg.yaml")
     p = m.export(format="pb", imgsz=64, project=str(tmp_path))
@@ -153,4 +157,18 @@ def test_pb_frozen_graph_export(tmp_path):
 
     gd = tf.compat.v1.GraphDef()
     gd.ParseFromString(Path(p).read_bytes())
-    assert len(gd.node) > 50
+    # jax2tf native serialization emits one XlaCallModule node carrying the
+    # whole conv graph as serialized StableHLO in its `module` attr (older
+    # jax2tf inlines TF ops instead — accept either shape)
+    n_nodes = len(gd.node) + sum(len(f.node_def) for f in gd.library.function)
+    has_xla_module = any(
+        n.op == "XlaCallModule" and len(n.attr["module"].s) > 10_000 for n in gd.node
+    )
+    assert has_xla_module or n_nodes > 50
+
+    backend = AutoBackend(p)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = backend(x)
+    m.fuse()
+    want = np.asarray(m.model.predict(m.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-3, rtol=1e-3)

@@ -6,10 +6,13 @@ Re-implementation of the reference ``nn/autobackend.py`` (493 LoC): one
   - ``.ckpt``      native checkpoint -> fused jitted predict
   - ``.yaml``      fresh model (random weights) -> jitted predict
   - ``.stablehlo`` jax.export artifact (+ sibling .weights.pkl)
-  - ``_saved_model`` / ``.tflite``  TF artifacts (gated on tensorflow)
+  - ``_saved_model`` / ``.pb`` / ``.tflite``  TF artifacts (gated on
+    tensorflow); quantized tflite I/O (int8 in/out tensors) handled via the
+    tensors' quantization params
 
-The reference's ONNX/TensorRT/CoreML/paddle/ncnn/triton branches have no
-TPU-image equivalent and raise informative errors.
+The reference's TensorRT/CoreML/paddle/ncnn/triton branches have no
+TPU-image equivalent and raise informative errors; edgetpu-compiled tflite
+needs the libedgetpu delegate (raises with guidance when absent).
 """
 from __future__ import annotations
 
@@ -31,13 +34,13 @@ class AutoBackend:
             "saved_model" if p.name.endswith("_saved_model") or (p / "saved_model.pb").exists()
             else {".ckpt": "ckpt", ".yaml": "yaml", ".yml": "yaml",
                   ".stablehlo": "stablehlo", ".tflite": "tflite",
-                  ".onnx": "onnx", ".pt": "pt"}.get(suffix)
+                  ".onnx": "onnx", ".pt": "pt", ".pb": "pb"}.get(suffix)
         )
         if self.fmt is None:
             raise ValueError(
                 f"unsupported artifact '{weights}' — supported: .ckpt, .yaml, "
                 ".pt (converted via utils/torch_convert), .onnx (needs "
-                "onnxruntime), .stablehlo, _saved_model dir, .tflite "
+                "onnxruntime), .stablehlo, _saved_model dir, .pb, .tflite "
                 "(tensorrt/coreml have no backend in this environment)"
             )
         meta_path = p.with_suffix("").with_suffix("") if suffix else p
@@ -130,18 +133,75 @@ class AutoBackend:
         self._fn = lambda x: np.asarray(self._tf.f(tf.constant(np.asarray(x))))
         self.names = self.metadata.get("names", {})
 
+    def _init_pb(self):
+        """Frozen TF GraphDef (exporter fmt='pb'): import the graph and wrap
+        it as a concrete function. Input = the graph's Placeholder node;
+        outputs = nodes nothing else consumes (the reference autobackend's
+        gd_outputs heuristic, reference nn/autobackend.py:217-228)."""
+        import tensorflow as tf
+
+        gd = tf.compat.v1.GraphDef()
+        gd.ParseFromString(Path(self.path).read_bytes())
+        inputs = [n.name for n in gd.node if n.op == "Placeholder"]
+        consumed = {i.split(":")[0].lstrip("^") for n in gd.node for i in n.input}
+        outputs = [
+            n.name for n in gd.node
+            if n.name not in consumed and n.op not in ("Placeholder", "NoOp", "Const")
+        ]
+        if not inputs or not outputs:
+            raise ValueError(f"frozen graph {self.path}: no Placeholder/terminal nodes")
+
+        def _import():
+            tf.compat.v1.import_graph_def(gd, name="")
+
+        wrapped = tf.compat.v1.wrap_function(_import, [])
+        fetch = wrapped.prune(
+            feeds=f"{inputs[0]}:0", fetches=[f"{o}:0" for o in outputs]
+        )
+
+        def fn(x):
+            res = [np.asarray(r) for r in fetch(tf.constant(np.asarray(x, np.float32)))]
+            return res[0] if len(res) == 1 else res
+
+        self._fn = fn
+        self.names = self.metadata.get("names", {})
+
     def _init_tflite(self):
         import tensorflow as tf
 
-        interp = tf.lite.Interpreter(model_path=self.path)
+        if self.path.endswith("_edgetpu.tflite"):
+            # Coral-compiled artifact: the graph is one custom edgetpu op that
+            # only the libedgetpu delegate can execute
+            try:
+                delegate = tf.lite.experimental.load_delegate("libedgetpu.so.1")
+            except (ValueError, OSError) as e:
+                raise RuntimeError(
+                    f"{self.path} is edgetpu-compiled — needs a Coral device +"
+                    " libedgetpu; run the '_int8.tflite' precursor here instead"
+                ) from e
+            interp = tf.lite.Interpreter(
+                model_path=self.path, experimental_delegates=[delegate]
+            )
+        else:
+            interp = tf.lite.Interpreter(model_path=self.path)
         interp.allocate_tensors()
         inp = interp.get_input_details()[0]
         outs = interp.get_output_details()
 
         def fn(x):
-            interp.set_tensor(inp["index"], np.asarray(x, np.float32))
+            x = np.asarray(x, np.float32)
+            if inp["dtype"] != np.float32:  # full-int8 I/O tflite
+                scale, zero = inp["quantization"]
+                x = np.clip(np.round(x / scale + zero), -128, 127).astype(inp["dtype"])
+            interp.set_tensor(inp["index"], x)
             interp.invoke()
-            res = [interp.get_tensor(o["index"]) for o in outs]
+            res = []
+            for o in outs:
+                y = interp.get_tensor(o["index"])
+                if o["dtype"] != np.float32:
+                    scale, zero = o["quantization"]
+                    y = (y.astype(np.float32) - zero) * scale
+                res.append(y)
             return res[0] if len(res) == 1 else res
 
         self._fn = fn
