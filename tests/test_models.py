@@ -165,3 +165,57 @@ def test_predict_visualize_feature_maps(tmp_path):
     assert pngs, f"no feature grids written under {vdir}"
     # one grid per non-head layer
     assert len(pngs) >= 5
+
+
+def test_predict_augmented_tta():
+    """TTA (reference DetectionModel._predict_augment): the full-scale pass
+    of predict_augmented must equal predict() minus the clipped tail level,
+    the total anchor count must follow _clip_augmented arithmetic, and the
+    flipped/scaled passes must land boxes near the unaugmented ones."""
+    m = build_model(CFG / "v8" / "yolov8n.yaml", nc=4)
+    v = m.init(imgsz=64)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    )
+    base = np.asarray(m.predict(v, x))  # (1, 4+nc, A)
+    tta = np.asarray(m.predict_augmented(v, x))
+    A = base.shape[-1]
+    nl = len(m.strides)
+    g = sum(4 ** i for i in range(nl))
+    tail = A // g
+    # pass 1 (scale 1, no flip) is bit-identical to predict() minus the tail
+    np.testing.assert_array_equal(tta[..., : A - tail], base[..., : A - tail])
+    # total anchors: (A - A//g) + A(.83) + A(.67) - head(.67)
+    def anchors(sz):
+        import math
+
+        gs = int(max(m.strides))
+        side = math.ceil(sz / gs) * gs
+        return sum((side // s) ** 2 for s in m.strides)
+
+    a83, a67 = anchors(int(64 * 0.83)), anchors(int(64 * 0.67))
+    want = (A - tail) + a83 + (a67 - (a67 // g) * 4 ** (nl - 1))
+    assert tta.shape == (1, 4 + m.nc, want)
+    # de-scaled centers stay in a sane frame (pad-region anchors of the
+    # scaled passes may descale past imgsz — the reference clips after NMS)
+    assert np.all(np.abs(tta[0, :2]) <= 2 * 64)
+
+
+def test_predictor_tta_wiring(tmp_path):
+    """augment=True reaches predict_augmented for detect and falls back (with
+    a warning) for segment — reference predictor parity."""
+    import cv2
+
+    from yolo_contour_regression_tpu import YOLO
+
+    img = (np.random.default_rng(0).uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+    p = str(tmp_path / "im.jpg")
+    cv2.imwrite(p, img)
+
+    m = YOLO(str(CFG / "v8" / "yolov8n.yaml"), task="detect")
+    res = m.predict(p, imgsz=64, augment=True, save=False, verbose=False)
+    assert len(res) == 1  # ran through the TTA graph
+
+    ms = YOLO("yolov8n-seg.yaml", task="segment")
+    res = ms.predict(p, imgsz=64, augment=True, save=False, verbose=False)
+    assert len(res) == 1  # warned + single-scale, still functional

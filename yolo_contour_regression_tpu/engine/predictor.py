@@ -125,10 +125,23 @@ class BasePredictor:
         args = self.args
 
         lazy = self.task == "segment" and hasattr(model, "predict_lazy")
+        tta = bool(getattr(args, "augment", False))
+        if tta and not hasattr(model, "predict_augmented"):
+            # reference parity: only DetectionModel supports TTA; other tasks
+            # warn and run single-scale (reference tasks.py _predict_augment
+            # fallbacks)
+            LOGGER.warning(
+                f"task={self.task} does not support augment=True inference — "
+                "running single-scale"
+            )
+            tta = False
 
         @jax.jit
         def eval_fn(variables, images):
-            if lazy:
+            if tta:
+                # multi-scale + flip TTA (nn/tasks.py predict_augmented)
+                pred = model.predict_augmented(variables, images)
+            elif lazy:
                 # polar: defer contour-point decode past NMS (head.py
                 # decode_polar_lazy) — same outputs, 28x smaller points tensor
                 pred = model.predict_lazy(variables, images)

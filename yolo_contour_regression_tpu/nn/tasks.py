@@ -494,6 +494,44 @@ class DetectionModel(BaseModel):
     def decode(self, outs):
         return head_mod.decode_detect(outs, self.strides, self.nc, self.reg_max)
 
+    def predict_augmented(self, variables, x):
+        """Multi-scale + horizontal-flip TTA (reference nn/tasks.py
+        DetectionModel._predict_augment + torch_utils.scale_img:318): three
+        passes at scales (1, .83, .67), fliplr on the middle one; predictions
+        de-scaled/de-flipped back to input space and concatenated along the
+        anchor axis, with the reference's _clip_augmented tail/head anchor
+        trim. Output layout matches predict(): (B, 4+nc, sum A_i), xywh
+        boxes — detect-only, like the reference (other tasks warn and fall
+        back to single-scale in the predictor)."""
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        gs = int(max(self.strides)) if self.strides else 32
+        preds = []
+        for si, fi in ((1.0, False), (0.83, True), (0.67, False)):
+            xi = x[:, :, ::-1, :] if fi else x
+            if si != 1.0:
+                rh, rw = int(h * si), int(w * si)
+                ph = math.ceil(h * si / gs) * gs
+                pw = math.ceil(w * si / gs) * gs
+                xi = jax.image.resize(xi, (b, rh, rw, x.shape[3]), "bilinear")
+                xi = jnp.pad(
+                    xi, ((0, 0), (0, ph - rh), (0, pw - rw), (0, 0)),
+                    constant_values=0.447,  # reference scale_img pad value
+                )
+            yi = self.predict(variables, xi)  # (B, 4+nc, A_i) xywh centers
+            box = yi[:, :4] / si
+            if fi:  # un-flip: cx' = w - cx (xywh layout)
+                box = jnp.concatenate([w - box[:, 0:1], box[:, 1:]], axis=1)
+            preds.append(jnp.concatenate([box, yi[:, 4:]], axis=1))
+        # reference _clip_augmented (e=1): drop the largest-stride level of
+        # the full-scale pass and the smallest-stride level of the smallest
+        nl = len(self.strides) or 3
+        g = sum(4 ** i for i in range(nl))
+        tail = preds[0].shape[-1] // g
+        preds[0] = preds[0][..., : preds[0].shape[-1] - tail]
+        head = (preds[-1].shape[-1] // g) * 4 ** (nl - 1)
+        preds[-1] = preds[-1][..., head:]
+        return jnp.concatenate(preds, axis=-1)
+
 
 class SegmentationOriModel(BaseModel):
     """Stock prototype-mask segmentation (the reference's parallel
