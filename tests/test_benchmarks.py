@@ -34,12 +34,14 @@ def test_benchmark_val_and_tf_formats(tmp_path):
     m = YOLO("yolov8n-seg.yaml")
     rows = benchmark(
         m, data=str(yaml_path), imgsz=64, batch=2,
-        formats=["fused", "saved_model"], project=str(tmp_path), verbose=False,
+        formats=["fused", "saved_model", "pb"], project=str(tmp_path), verbose=False,
     )
     by = {r["format"]: r for r in rows}
     assert by["fused"]["status"] == "ok" and "mAP50-95" in by["fused"]
     assert by["saved_model"]["status"] == "ok"
     assert by["saved_model"]["consistency_maxabs"] < 5e-2
+    assert by["pb"]["status"] == "ok"
+    assert by["pb"]["consistency_maxabs"] < 5e-2
 
 
 def test_profile_models():

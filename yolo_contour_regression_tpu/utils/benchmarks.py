@@ -108,7 +108,9 @@ def benchmark(
     from . import LOGGER
 
     model._ensure_variables(imgsz)
-    formats = formats or ["native", "fused", "int8", "stablehlo", "saved_model", "tflite"]
+    formats = formats or [
+        "native", "fused", "int8", "stablehlo", "onnx", "saved_model", "tflite", "pb",
+    ]
     out_dir = Path(project or "runs/benchmark")
     rows: List[Dict] = []
     rng = np.random.default_rng(0)
