@@ -167,10 +167,11 @@ def main():
         print(json.dumps(measure(int(pinned))))
         return
 
-    # try the faster batches in timeout-guarded subprocesses (a remote-
-    # compile stall there must not take the whole benchmark down), fall back
-    # to the reliable batch 16 in-process
-    for batch, budget in ((128, 900), (64, 600), (32, 600)):
+    # every batch runs in a timeout-guarded subprocess: a remote-compile
+    # stall (or a half-dead tunnel, where backend init HANGS rather than
+    # errors) must not take the whole benchmark down. Faster batches first,
+    # the always-reliable batch 16 last.
+    for batch, budget in ((128, 900), (64, 600), (32, 600), (16, 600)):
         try:
             env = dict(os.environ, BENCH_BATCH=str(batch))
             r = subprocess.run(
@@ -184,7 +185,18 @@ def main():
                 return
         except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
             pass
-    print(json.dumps(measure(16)))
+    # nothing completed: report failure honestly rather than hanging the
+    # driver with an in-process attempt against an unreachable backend
+    name = os.environ.get("BENCH_MODEL", "yolov8n-seg")
+    if os.environ.get("BENCH_INT8"):
+        name += "-int8"
+    print(json.dumps({
+        "metric": f"{name}_e2e_throughput_640px",
+        "value": 0,
+        "unit": "imgs/sec/chip",
+        "vs_baseline": 0,
+        "error": "all timed attempts failed (device backend unreachable?)",
+    }))
 
 
 if __name__ == "__main__":

@@ -122,3 +122,51 @@ def test_quantized_save_load_roundtrip(tmp_path):
     assert getattr(m2.model, "quantized", False)
     y2 = np.asarray(m2.model.predict(m2.variables, x))
     np.testing.assert_allclose(y2, y1, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_ckpt_autobackend_not_refused(tmp_path):
+    """AutoBackend on an int8 checkpoint must NOT re-fuse it (fuse_variables
+    is idempotent on deploy state): re-fusing used to strip the quant wrapper
+    and convolve int8 codes as f32 weights — silent garbage."""
+    from yolo_contour_regression_tpu.engine.model import YOLO
+    from yolo_contour_regression_tpu.nn.autobackend import AutoBackend
+
+    rng = np.random.default_rng(3)
+    calib = [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)]
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+
+    m = YOLO("yolov8n-seg.yaml")
+    m._ensure_variables(64)
+    m.quantize(calib)
+    y1 = np.asarray(m.model.predict(m.variables, jnp.asarray(x)))
+
+    p = m.save(str(tmp_path / "q.ckpt"))
+    backend = AutoBackend(p)
+    y2 = np.asarray(backend(x))
+    np.testing.assert_allclose(y2, y1, rtol=1e-5, atol=1e-5)
+
+
+def test_refuse_requantize_guards(tmp_path):
+    """fuse()/quantize() on an int8 handle raise instead of corrupting; a
+    second fuse() on a fused handle is a no-op."""
+    import pytest
+
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    rng = np.random.default_rng(4)
+    calib = [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)]
+
+    m = YOLO("yolov8n-seg.yaml")
+    m._ensure_variables(64)
+    m.fuse()
+    v_before = m.variables
+    m.fuse()  # idempotent, not a double-fold
+    assert m.variables is v_before
+
+    m.quantize(calib)
+    with pytest.raises(RuntimeError, match="int8"):
+        m.fuse()
+    with pytest.raises(RuntimeError, match="int8"):
+        m.quantize(calib)
+    with pytest.raises(RuntimeError, match="int8"):
+        m.export(format="onnx")

@@ -85,7 +85,16 @@ class Exporter:
         imgsz = self.args.imgsz
         batch = getattr(self.args, "batch", 1) or 1
 
-        # fuse for deploy (reference exporter.py:147 model.fuse())
+        # fuse for deploy (reference exporter.py:147 model.fuse()); no-op if
+        # the handle is already in deploy state (fuse_variables is idempotent)
+        if getattr(model, "quantized", False):
+            raise RuntimeError(
+                "export of a native-int8 handle is not supported: format "
+                "emitters expect f32 deploy kernels. Export the fp32 "
+                "checkpoint instead (use format='tflite', int8=True for a "
+                "quantized artifact, or keep the native int8 ckpt for "
+                "in-framework serving)."
+            )
         variables, model = fuse_variables(model, variables)
 
         include_nms = bool(getattr(self.args, "nms", False))

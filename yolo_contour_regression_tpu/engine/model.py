@@ -264,10 +264,18 @@ class YOLO:
         return out
 
     def fuse(self):
-        """Structural reparameterization (RepConv/Conv2/Conv+BN) for deploy."""
+        """Structural reparameterization (RepConv/Conv2/Conv+BN) for deploy.
+
+        No-op on an already-fused handle; raises on an int8-quantized one
+        (there is no float deploy form to return to — reload the fp32 ckpt)."""
         from ..nn.fuse import fuse_variables
 
         self._ensure_variables()
+        if getattr(self.model, "quantized", False):
+            raise RuntimeError(
+                "fuse() on an int8-quantized model: quantization is "
+                "inference-final; reload the fp32 checkpoint to refuse/retrain"
+            )
         self.variables, self.model = fuse_variables(self.model, self.variables)
         return self
 
@@ -279,6 +287,12 @@ class YOLO:
         from ..nn.quant import quantize_variables
 
         self._ensure_variables()
+        if getattr(self.model, "quantized", False):
+            raise RuntimeError(
+                "quantize() on an already-int8 model would recalibrate scales "
+                "from int8 codes (silent corruption); reload the fp32 "
+                "checkpoint to re-quantize"
+            )
         if not getattr(self.model, "deploy", False):
             self.fuse()
         self.variables, self.model = quantize_variables(

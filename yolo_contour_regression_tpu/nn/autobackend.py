@@ -190,9 +190,12 @@ class AutoBackend:
 
         def fn(x):
             x = np.asarray(x, np.float32)
-            if inp["dtype"] != np.float32:  # full-int8 I/O tflite
+            if inp["dtype"] != np.float32:  # quantized-I/O tflite (int8/uint8)
                 scale, zero = inp["quantization"]
-                x = np.clip(np.round(x / scale + zero), -128, 127).astype(inp["dtype"])
+                info = np.iinfo(inp["dtype"])
+                x = np.clip(np.round(x / scale + zero), info.min, info.max).astype(
+                    inp["dtype"]
+                )
             interp.set_tensor(inp["index"], x)
             interp.invoke()
             res = []

@@ -133,7 +133,14 @@ def fuse_variables(model, variables) -> Tuple[Dict, Any]:
 
     The returned model is the same BaseModel subclass wired to trace in deploy
     mode; its variables have no batch_stats.
+
+    Idempotent: a model already in deploy state (fused, or int8-quantized via
+    nn/quant.py) is returned unchanged — re-fusing would treat deploy/int8
+    kernels as raw train params and corrupt them (int8 codes convolved as f32
+    without their dequant scales).
     """
+    if getattr(model, "deploy", False):
+        return variables, model
     fused_params = fuse_tree(
         dict(variables["params"]), dict(variables.get("batch_stats", {}))
     )

@@ -130,10 +130,14 @@ def benchmark(
                     # accuracy-grade calibration wants real images)
                     from ..nn.quant import quantize_variables
 
-                    v, m = quantize_variables(
-                        fused_m, fused_v,
-                        [rng.uniform(0, 1, (2, imgsz, imgsz, 3)).astype(np.float32)],
-                    )
+                    if getattr(fused_m, "quantized", False):
+                        # handle was loaded from an int8 checkpoint — use as-is
+                        v, m = fused_v, fused_m
+                    else:
+                        v, m = quantize_variables(
+                            fused_m, fused_v,
+                            [rng.uniform(0, 1, (2, imgsz, imgsz, 3)).astype(np.float32)],
+                        )
                 else:
                     m, v = (model.model, model.variables) if fmt == "native" else (fused_m, fused_v)
                 row.update(_device_loop_throughput(m, v, raw, batch))
