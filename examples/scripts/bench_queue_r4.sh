@@ -26,3 +26,6 @@ T=3600 run python examples/scripts/bench_e2e_train.py
 
 # 4) RT-DETR quality floor (auction matcher) — ~15 min compile + ~15 min run
 T=5400 run python examples/scripts/train_floor.py rtdetr 300 96 64
+
+# 5) serving-engine load curve (dynamic batcher vs bench.py's in-graph ceiling)
+T=3600 run python examples/scripts/bench_serve.py yolov8n-seg.yaml 640 10

@@ -1,0 +1,176 @@
+"""Serving subsystem (serve/): dynamic batching, bucket padding, HTTP API.
+
+The reference has no serving component (its predictor streams batch-1,
+reference ultralytics/engine/predictor.py:240-300) — these tests pin the
+beyond-reference contract: batched serving returns byte-identical results
+to the direct predictor path, coalesces concurrent requests into shared
+device batches, and pads to static shape buckets without contaminating
+real rows.
+"""
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from yolo_contour_regression_tpu.engine.model import YOLO
+from yolo_contour_regression_tpu.serve import InferenceServer
+
+IMGSZ = 64
+
+
+def _images(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 255, (72, 96, 3), dtype=np.uint8) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def seg_handle():
+    m = YOLO("yolov8n-seg.yaml")
+    m._ensure_variables(IMGSZ)
+    m.fuse()
+    return m
+
+
+def test_serve_matches_direct_predict(seg_handle):
+    """Server results (batched, padded to bucket 4) == direct batch-1
+    predictor results on the same fused weights."""
+    imgs = _images(3, seed=1)
+    with InferenceServer(
+        seg_handle, imgsz=IMGSZ, max_batch=4, max_delay_ms=100.0, conf=0.001
+    ) as srv:
+        got = srv.infer(imgs, timeout=300.0)
+
+    from yolo_contour_regression_tpu.engine.model import TASK_MAP
+
+    predictor = TASK_MAP["segment"]["predictor"]()
+    predictor.args.conf = 0.001
+    predictor.args.imgsz = IMGSZ
+    want = predictor(seg_handle.model, seg_handle.variables, imgs)
+
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        if g.boxes is not None and len(g):
+            np.testing.assert_allclose(g.boxes.data, w.boxes.data, rtol=1e-4, atol=1e-4)
+
+
+def test_serve_coalesces_and_pads(seg_handle):
+    """Concurrent submits land in shared batches (batches < requests) and
+    non-power-of-two fills are padded to the next bucket."""
+    srv = InferenceServer(
+        seg_handle, imgsz=IMGSZ, max_batch=8, max_delay_ms=250.0, conf=0.25
+    ).start()
+    try:
+        srv.warmup([8])  # compile before timing-sensitive coalescing
+        imgs = _images(6, seed=2)
+        futs = []
+        threads = [
+            threading.Thread(target=lambda im=im: futs.append(srv.submit(im)))
+            for im in imgs
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for f in list(futs):
+            f.result(timeout=300.0)
+        s = srv.stats()
+        assert s["requests"] == 6
+        assert s["batches"] < 6, f"no coalescing happened: {s}"
+        assert max(int(k) for k in s["batch_hist"]) > 1
+        # 6 requests in one window -> bucket 8 -> 2 padded rows (or split
+        # batches, each still bucket-padded); padding must be accounted
+        assert s["padded_rows"] >= 1
+    finally:
+        srv.close()
+
+
+def test_serve_close_semantics(seg_handle):
+    srv = InferenceServer(seg_handle, imgsz=IMGSZ, max_batch=2, max_delay_ms=1.0).start()
+    fut = srv.submit(_images(1)[0])
+    srv.close()  # drains: pending request completes
+    assert fut.result(timeout=300.0) is not None
+    with pytest.raises(RuntimeError):
+        srv.submit(_images(1)[0])
+
+
+def test_serve_classify():
+    m = YOLO("yolov8-cls.yaml")
+    m._ensure_variables(IMGSZ)
+    with InferenceServer(m, imgsz=IMGSZ, max_batch=2, max_delay_ms=20.0) as srv:
+        res = srv.infer(_images(2, seed=3), timeout=300.0)
+    assert len(res) == 2
+    assert res[0].probs is not None and len(np.asarray(res[0].probs.data)) == m.model.nc
+
+
+def test_serve_http(seg_handle):
+    import cv2
+
+    from yolo_contour_regression_tpu.serve.http_api import serve_http
+
+    httpd = serve_http(
+        seg_handle, host="127.0.0.1", port=0, imgsz=IMGSZ,
+        max_batch=2, max_delay_ms=5.0, warmup_buckets=None, conf=0.001,
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        ok, buf = cv2.imencode(".jpg", _images(1, seed=4)[0])
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.tobytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+        assert r.status == 200 if hasattr(r, "status") else True
+        assert "results" in payload and "speed_ms" in payload
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 1
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        httpd.shutdown()
+        httpd.engine.close()
+
+
+def test_yolo_serve_mode(seg_handle):
+    """YOLO.serve(background=True) exposes the server over HTTP; 'serve' is a
+    CLI mode (yolo segment serve model=... port=...)."""
+    from yolo_contour_regression_tpu.cfg import MODES
+
+    assert "serve" in MODES
+
+    httpd = seg_handle.serve(
+        port=0, imgsz=IMGSZ, max_batch=2, max_delay_ms=5.0,
+        background=True, warmup_buckets=None, conf=0.25,
+    )
+    try:
+        port = httpd.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        httpd.shutdown()
+        httpd.engine.close()
+
+
+@pytest.mark.slow
+def test_serve_rtdetr():
+    """RT-DETR's eval returns a raw (B, nq, 4+nc) array (no NMS dict) — the
+    server must route it through RTDETRPredictor.postprocess, not the
+    classify probs branch."""
+    from yolo_contour_regression_tpu.models.rtdetr.model import RTDETR
+
+    m = RTDETR("rtdetr-l.yaml")
+    m._ensure_variables(IMGSZ)
+    with InferenceServer(m, imgsz=IMGSZ, max_batch=2, max_delay_ms=20.0, fuse=False) as srv:
+        res = srv.infer(_images(2, seed=5), timeout=600.0)
+    assert len(res) == 2
+    assert res[0].probs is None  # boxes-task Results, not classify
+    assert res[0].boxes is None or res[0].boxes.data.shape[-1] == 6

@@ -20,7 +20,7 @@ DATASETS_DIR = CFG_DIR / "datasets"
 DEFAULT_CFG_PATH = CFG_DIR / "default.yaml"
 
 TASKS = ("detect", "segment", "segment_ori", "classify", "pose")
-MODES = ("train", "val", "predict", "export", "track", "benchmark")
+MODES = ("train", "val", "predict", "export", "track", "benchmark", "serve")
 
 TASK2MODEL = {
     "detect": "yolov8n.yaml",

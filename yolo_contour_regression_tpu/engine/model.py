@@ -224,6 +224,40 @@ class YOLO:
 
         return benchmark(self, **kwargs)
 
+    def serve(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 8570,
+        imgsz: int = 640,
+        max_batch: int = 32,
+        max_delay_ms: float = 5.0,
+        background: bool = False,
+        **kwargs,
+    ):
+        """Dynamic-batching HTTP inference server (serve/http_api.py) —
+        beyond-reference: the reference's deploy story is export + BYO
+        server. Blocks in serve_forever unless background=True (then
+        returns the httpd; ``httpd.engine`` is the InferenceServer)."""
+        from ..serve.http_api import serve_http
+
+        httpd = serve_http(
+            self, host=host, port=port, imgsz=imgsz,
+            max_batch=max_batch, max_delay_ms=max_delay_ms, **kwargs,
+        )
+        if background:
+            import threading
+
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            return httpd
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.shutdown()
+            httpd.engine.close()
+        return None
+
     def info(self, detailed: bool = False, imgsz: int = 640):
         n_params = self.model.num_params
         LOGGER.info(
