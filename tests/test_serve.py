@@ -174,3 +174,32 @@ def test_serve_rtdetr():
     assert len(res) == 2
     assert res[0].probs is None  # boxes-task Results, not classify
     assert res[0].boxes is None or res[0].boxes.data.shape[-1] == 6
+
+
+def test_serve_mesh_dp(seg_handle):
+    """Data-parallel serving over an 8-device mesh: params replicated,
+    batches dim-0-sharded, buckets forced to mesh-size multiples — results
+    equal the single-device server on the same weights."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("batch",))
+
+    imgs = _images(3, seed=6)
+    with InferenceServer(
+        seg_handle, imgsz=IMGSZ, max_batch=8, max_delay_ms=100.0, conf=0.001,
+        mesh=mesh,
+    ) as srv:
+        assert all(b % 8 == 0 for b in srv.buckets), srv.buckets
+        got = srv.infer(imgs, timeout=600.0)
+    with InferenceServer(
+        seg_handle, imgsz=IMGSZ, max_batch=4, max_delay_ms=100.0, conf=0.001
+    ) as srv1:
+        want = srv1.infer(imgs, timeout=600.0)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        if len(g):
+            np.testing.assert_allclose(g.boxes.data, w.boxes.data, rtol=1e-4, atol=1e-4)

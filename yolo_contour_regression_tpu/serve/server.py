@@ -128,6 +128,7 @@ class InferenceServer:
         iou: Optional[float] = None,
         fuse: bool = True,
         queue_size: int = 1024,
+        mesh=None,
     ):
         from ..engine.model import TASK_MAP, YOLO
 
@@ -141,7 +142,23 @@ class InferenceServer:
         self.imgsz = int(imgsz)
         self.max_batch = int(max_batch)
         self.max_delay = float(max_delay_ms) / 1e3
-        self.buckets = sorted(set(int(b) for b in (buckets or _default_buckets(max_batch))))
+
+        # multi-chip data-parallel serving: params replicated over the mesh,
+        # each batch dim-0-sharded over the 'batch' axis — XLA GSPMD splits
+        # the whole model+NMS graph with zero per-request collectives (the
+        # images are independent). Buckets must be multiples of the mesh
+        # size so every chip gets identical sub-shapes (no recompiles).
+        self.mesh = mesh
+        n_dev = 1
+        if mesh is not None:
+            from ..parallel.mesh import replicate_tree
+
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            self.variables = replicate_tree(mesh, self.variables)
+            self.max_batch = max(self.max_batch, n_dev)
+        self.buckets = sorted(set(int(b) for b in (buckets or _default_buckets(self.max_batch))))
+        if n_dev > 1:
+            self.buckets = sorted({max(n_dev, (b + n_dev - 1) // n_dev * n_dev) for b in self.buckets})
         if self.buckets[-1] < self.max_batch:
             self.buckets.append(self.max_batch)
 
@@ -288,7 +305,16 @@ class InferenceServer:
                 bucket = next(b for b in self.buckets if b >= n)
                 stacked = np.zeros((bucket,) + xs[0].shape, np.float32)
                 stacked[:n] = np.stack(xs)
-                out = self._eval_fn(self.variables, jnp.asarray(stacked))
+                if self.mesh is not None:
+                    import jax
+                    from ..parallel.mesh import batch_sharding
+
+                    x_dev = jax.device_put(
+                        stacked, batch_sharding(self.mesh, stacked.ndim)
+                    )
+                else:
+                    x_dev = jnp.asarray(stacked)
+                out = self._eval_fn(self.variables, x_dev)
                 if isinstance(out, dict):
                     out = {k: np.asarray(v) for k, v in out.items()}
                 else:
