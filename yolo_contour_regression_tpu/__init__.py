@@ -14,6 +14,21 @@ regression). Public surface mirrors the reference:
 
 __version__ = "0.1.0"
 
+# Honor the JAX_PLATFORMS env contract even on images whose site hooks
+# pre-import jax (which silently voids the env var): mirror it into
+# jax.config before any backend is initialized. A dead accelerator tunnel
+# otherwise HANGS backend init in every "CPU" script that forgot to pin.
+import os as _os  # noqa: E402
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backends already initialized — too late to repin
+        pass
+del _os
+
 
 def __getattr__(name):
     # lazy to keep `import yolo_contour_regression_tpu` cheap (jax loads on use)
