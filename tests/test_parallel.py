@@ -171,3 +171,35 @@ def test_tp_train_step_matches_pure_dp():
     flat2 = jax.tree_util.tree_leaves(p2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_spatial_partitioned_predict():
+    """Spatial partitioning (parallel/mesh.py spatial_sharding): one image's
+    H axis sharded 4-way, params replicated — GSPMD partitions the convs
+    with automatic halo exchange; outputs must equal the unsharded predict.
+    imgsz 256 keeps >= 2 rows/chip at stride 32."""
+    import jax
+    from jax.sharding import Mesh
+
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.parallel.mesh import (
+        replicate_tree,
+        shard_spatial,
+    )
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(devs[:4]), ("spatial",))
+
+    m = build_model("yolov8-seg.yaml", nc=3)
+    v = m.init(imgsz=256)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 256, 256, 3)).astype(np.float32)
+
+    want = np.asarray(jax.jit(m.predict)(v, jnp.asarray(x)))
+
+    v_r = replicate_tree(mesh, v)
+    x_s = shard_spatial(mesh, jnp.asarray(x))
+    got = np.asarray(jax.jit(m.predict)(v_r, x_s))
+
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

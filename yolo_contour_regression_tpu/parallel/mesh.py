@@ -165,3 +165,30 @@ def shard_params_tp(mesh: Mesh, tree, axis: str = "model"):
         return jax.device_put(x, param_sharding_rule(mesh, x, axis))
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def spatial_sharding(mesh: Mesh, ndim: int = 4, axis: str = "spatial") -> NamedSharding:
+    """Shard the image HEIGHT dim (dim 1 of NHWC) over ``axis``.
+
+    Spatial partitioning is the latency lever batching can't pull: one
+    megapixel image, batch 1, split row-wise across chips. XLA GSPMD
+    partitions every conv spatially and inserts the halo exchanges for
+    kernel overlap on its own — no manual ghost-row plumbing (this is the
+    workload spatial partitioning in XLA was originally built for). Params
+    stay replicated. Keep H/stride_max >= mesh.shape[axis] so the deepest
+    feature map still has at least one row per chip (stride 32: 8-way needs
+    imgsz >= 256).
+
+    No reference counterpart: the reference's only multi-GPU axis is DDP
+    data parallelism (reference engine/trainer.py DDP setup)."""
+    return NamedSharding(mesh, P(None, axis, *([None] * (ndim - 2))))
+
+
+def shard_spatial(mesh: Mesh, tree, axis: str = "spatial"):
+    """Place a pytree of NHWC image arrays with H sharded over ``axis``."""
+    def put(x):
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+        return jax.device_put(x, spatial_sharding(mesh, x.ndim, axis))
+
+    return jax.tree_util.tree_map(put, tree)
