@@ -203,3 +203,22 @@ def test_serve_mesh_dp(seg_handle):
         assert len(g) == len(w)
         if len(g):
             np.testing.assert_allclose(g.boxes.data, w.boxes.data, rtol=1e-4, atol=1e-4)
+
+
+def test_serve_bad_request_isolated(seg_handle):
+    """A malformed image fails only its own future — requests coalesced into
+    the same batch still succeed."""
+    srv = InferenceServer(
+        seg_handle, imgsz=IMGSZ, max_batch=4, max_delay_ms=150.0, conf=0.25
+    ).start()
+    try:
+        srv.warmup([2])
+        good = _images(2, seed=7)
+        bad = np.zeros((0, 0, 3), np.uint8)  # undecodable/empty image
+        futs = [srv.submit(good[0]), srv.submit(bad), srv.submit(good[1])]
+        assert futs[0].result(timeout=300.0) is not None
+        assert futs[2].result(timeout=300.0) is not None
+        with pytest.raises(Exception):
+            futs[1].result(timeout=300.0)
+    finally:
+        srv.close()

@@ -295,13 +295,23 @@ class InferenceServer:
             if not batch:
                 continue
             try:
-                n = len(batch)
-                xs, gains, pads = [], [], []
+                # per-request preprocess isolation: one malformed image must
+                # fail only its own future, not everyone coalesced with it
+                xs, gains, pads, ok = [], [], [], []
                 for req in batch:
-                    x, gain, pad = self._predictor.preprocess(req.image, self.imgsz)
+                    try:
+                        x, gain, pad = self._predictor.preprocess(req.image, self.imgsz)
+                    except Exception as e:
+                        req.future.set_exception(e)
+                        continue
                     xs.append(x)
                     gains.append(gain)
                     pads.append(pad)
+                    ok.append(req)
+                batch = ok
+                if not batch:
+                    continue
+                n = len(batch)
                 bucket = next(b for b in self.buckets if b >= n)
                 stacked = np.zeros((bucket,) + xs[0].shape, np.float32)
                 stacked[:n] = np.stack(xs)
