@@ -52,3 +52,35 @@ def test_cli_train_val_predict(tmp_path):
         "imgsz=64", "conf=0.001", f"project={tmp_path / 'runs'}",
     ], timeout=1200)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_cli_special_commands(tmp_path, monkeypatch, capsys):
+    """Reference CLI special commands (cfg/__init__.py:315): version, checks,
+    settings [reset], cfg, copy-cfg, hub login/logout — all exit 0."""
+    from yolo_contour_regression_tpu import __version__
+    from yolo_contour_regression_tpu.cfg import entrypoint
+
+    assert entrypoint(["version"]) == 0
+    assert __version__ in capsys.readouterr().out
+
+    assert entrypoint(["--version"]) == 0  # lenient spelling
+    capsys.readouterr()
+
+    assert entrypoint(["checks"]) == 0
+
+    assert entrypoint(["settings"]) == 0
+    assert "=" in capsys.readouterr().out
+
+    assert entrypoint(["settings", "reset"]) == 0
+    assert "reset" in capsys.readouterr().out
+
+    assert entrypoint(["cfg"]) == 0
+    assert "imgsz" in capsys.readouterr().out
+
+    monkeypatch.chdir(tmp_path)
+    assert entrypoint(["copy-cfg"]) == 0
+    assert (tmp_path / "default_copy.yaml").exists()
+
+    assert entrypoint(["hub", "login", "testkey"]) == 0
+    assert entrypoint(["hub", "logout"]) == 0
+    assert entrypoint(["logout"]) == 0

@@ -144,8 +144,59 @@ def entrypoint(argv=None):
         print(
             "usage: yolo TASK MODE [k=v ...]\n"
             f"  TASK in {TASKS}\n  MODE in {MODES}\n"
-            "example: yolo segment train model=yolov8n-seg.yaml data=coco8-seg.yaml epochs=1"
+            "example: yolo segment train model=yolov8n-seg.yaml data=coco8-seg.yaml epochs=1\n"
+            "special: yolo checks | version | settings [reset] | cfg | "
+            "copy-cfg | hub login KEY | hub logout"
         )
+        return 0
+
+    # special commands (reference cfg/__init__.py:315 `special` dict),
+    # accepting the reference's lenient spellings (-version, --settings, ...)
+    head = argv[0].lower().lstrip("-")
+    if head in ("check", "checks"):
+        from ..utils.checks import check_yolo
+
+        check_yolo()
+        return 0
+    if head == "version":
+        from .. import __version__
+
+        print(__version__)
+        return 0
+    if head in ("setting", "settings"):
+        from ..utils.settings import get_settings
+
+        s = get_settings()
+        if len(argv) > 1 and argv[1] == "reset":
+            s.reset()
+            print("settings reset")
+        for k, v in s.items():
+            print(f"{k}={v}")
+        return 0
+    if head == "cfg":
+        print(DEFAULT_CFG_PATH.read_text())
+        return 0
+    if head == "copy-cfg":
+        import shutil
+
+        dst = Path.cwd() / f"{DEFAULT_CFG_PATH.stem}_copy.yaml"
+        shutil.copy2(DEFAULT_CFG_PATH, dst)
+        print(
+            f"copied default config to {dst}\n"
+            f"usage example: yolo cfg={dst} imgsz=320"
+        )
+        return 0
+    if head in ("hub", "login", "logout"):
+        from ..hub.session import login, logout
+
+        sub = argv[1] if head == "hub" and len(argv) > 1 else head
+        if sub == "login":
+            key = (argv[2:] if head == "hub" else argv[1:]) or [""]
+            login(key[0])
+        elif sub == "logout":
+            logout()
+        else:
+            print("usage: yolo hub login KEY | yolo hub logout")
         return 0
     task = mode = None
     kv = []

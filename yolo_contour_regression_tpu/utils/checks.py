@@ -107,3 +107,37 @@ def check_yaml(file, suffix=(".yaml", ".yml")):
 def print_args(args: Optional[dict] = None):
     s = ", ".join(f"{k}={v}" for k, v in (args or {}).items())
     LOGGER.info(colorstr("args: ") + s)
+
+
+def check_yolo(verbose: bool = True) -> dict:
+    """Environment summary for the `yolo checks` CLI command (reference
+    checks.py check_yolo): python/jax versions, device inventory, package
+    version. Returns the dict so tests don't have to parse the log."""
+    import platform
+    import sys
+
+    info = {
+        "version": __import__("yolo_contour_regression_tpu").__version__,
+        "python": sys.version.split()[0],
+        "platform": platform.platform(),
+    }
+    try:
+        import jax
+
+        info["jax"] = jax.__version__
+        info["default_backend"] = jax.default_backend()
+        info["devices"] = [str(d) for d in jax.devices()]
+    except Exception as e:  # device backend unreachable: report, don't crash
+        info["jax_error"] = f"{type(e).__name__}: {e}"
+    try:
+        import flax
+        import optax
+
+        info["flax"] = flax.__version__
+        info["optax"] = optax.__version__
+    except Exception:
+        pass
+    if verbose:
+        for k, v in info.items():
+            LOGGER.info(f"{k}: {v}")
+    return info
