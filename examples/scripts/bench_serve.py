@@ -24,13 +24,8 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
-
-# honor JAX_PLATFORMS even where a site hook pins the platform (the env var
-# alone is ignored on this image; jax.config.update is authoritative)
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# JAX_PLATFORMS is honored by the package __init__ (mirrored into
+# jax.config, since site hooks can pre-import jax and void the env var)
 
 from yolo_contour_regression_tpu.engine.model import YOLO
 from yolo_contour_regression_tpu.serve import InferenceServer

@@ -15,7 +15,6 @@ Usage (defaults sized for the one tunneled v5e chip + 1-CPU host):
     task in {segment (default), detect, pose, classify, all}
 """
 import json
-import os
 import shutil
 import sys
 from pathlib import Path
@@ -23,13 +22,9 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(ROOT))
 
-# honor JAX_PLATFORMS even where a site hook pins the platform (the env var
-# alone is ignored on this image; jax.config.update is authoritative) — the
-# floor artifacts are quality evidence, identical on CPU and TPU backends
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# JAX_PLATFORMS is honored by the package __init__ (mirrored into jax.config,
+# since site hooks can pre-import jax and void the env var) — floor artifacts
+# are quality evidence, identical on CPU and TPU backends
 
 from tests.helpers import (  # noqa: E402
     make_cls_dataset,

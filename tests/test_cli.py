@@ -56,9 +56,18 @@ def test_cli_train_val_predict(tmp_path):
 
 def test_cli_special_commands(tmp_path, monkeypatch, capsys):
     """Reference CLI special commands (cfg/__init__.py:315): version, checks,
-    settings [reset], cfg, copy-cfg, hub login/logout — all exit 0."""
+    settings [reset], cfg, copy-cfg, hub login/logout — all exit 0.
+
+    Settings and hub state are redirected to tmp_path: the reset/logout
+    commands must never touch the developer's real config as a side effect."""
     from yolo_contour_regression_tpu import __version__
     from yolo_contour_regression_tpu.cfg import entrypoint
+    from yolo_contour_regression_tpu.hub import session as hub_session
+    from yolo_contour_regression_tpu.utils import settings as settings_mod
+
+    monkeypatch.setattr(settings_mod, "SETTINGS_PATH", tmp_path / "settings.json")
+    monkeypatch.setattr(settings_mod, "SETTINGS", None)
+    monkeypatch.setattr(hub_session, "HUB_DIR", tmp_path / "hub")
 
     assert entrypoint(["version"]) == 0
     assert __version__ in capsys.readouterr().out

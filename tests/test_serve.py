@@ -61,7 +61,8 @@ def test_serve_coalesces_and_pads(seg_handle):
     """Concurrent submits land in shared batches (batches < requests) and
     non-power-of-two fills are padded to the next bucket."""
     srv = InferenceServer(
-        seg_handle, imgsz=IMGSZ, max_batch=8, max_delay_ms=250.0, conf=0.25
+        seg_handle, imgsz=IMGSZ, max_batch=8, max_delay_ms=500.0, conf=0.25,
+        buckets=[8],  # single bucket: ANY batch < 8 must be padded
     ).start()
     try:
         srv.warmup([8])  # compile before timing-sensitive coalescing
@@ -81,9 +82,9 @@ def test_serve_coalesces_and_pads(seg_handle):
         assert s["requests"] == 6
         assert s["batches"] < 6, f"no coalescing happened: {s}"
         assert max(int(k) for k in s["batch_hist"]) > 1
-        # 6 requests in one window -> bucket 8 -> 2 padded rows (or split
-        # batches, each still bucket-padded); padding must be accounted
-        assert s["padded_rows"] >= 1
+        # the only bucket is 8, so every formed batch of n < 8 pads 8 - n
+        # rows; 6 requests pad >= 2 regardless of how the window split them
+        assert s["padded_rows"] >= 2
     finally:
         srv.close()
 
@@ -95,6 +96,11 @@ def test_serve_close_semantics(seg_handle):
     assert fut.result(timeout=300.0) is not None
     with pytest.raises(RuntimeError):
         srv.submit(_images(1)[0])
+    # restart after close must yield a LIVE server (fresh dispatcher), not
+    # one whose dispatcher exits on a stale closing flag
+    srv.start()
+    assert srv.submit(_images(1)[0]).result(timeout=300.0) is not None
+    srv.close()
 
 
 def test_serve_classify():
@@ -113,7 +119,7 @@ def test_serve_http(seg_handle):
 
     httpd = serve_http(
         seg_handle, host="127.0.0.1", port=0, imgsz=IMGSZ,
-        max_batch=2, max_delay_ms=5.0, warmup_buckets=None, conf=0.001,
+        max_batch=2, max_delay_ms=5.0, warmup_buckets=(), conf=0.001,
     )
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -149,7 +155,7 @@ def test_yolo_serve_mode(seg_handle):
 
     httpd = seg_handle.serve(
         port=0, imgsz=IMGSZ, max_batch=2, max_delay_ms=5.0,
-        background=True, warmup_buckets=None, conf=0.25,
+        background=True, warmup_buckets=(), conf=0.25,
     )
     try:
         port = httpd.server_address[1]
@@ -195,6 +201,12 @@ def test_serve_mesh_dp(seg_handle):
     ) as srv:
         assert all(b % 8 == 0 for b in srv.buckets), srv.buckets
         got = srv.infer(imgs, timeout=600.0)
+    # the appended capacity bucket must be mesh-rounded too (max_batch=20
+    # with an 8-way mesh must NOT yield a raw 20 bucket)
+    srv20 = InferenceServer(
+        seg_handle, imgsz=IMGSZ, max_batch=20, buckets=[4], mesh=mesh
+    )
+    assert all(b % 8 == 0 for b in srv20.buckets), srv20.buckets
     with InferenceServer(
         seg_handle, imgsz=IMGSZ, max_batch=4, max_delay_ms=100.0, conf=0.001
     ) as srv1:
@@ -220,5 +232,8 @@ def test_serve_bad_request_isolated(seg_handle):
         assert futs[2].result(timeout=300.0) is not None
         with pytest.raises(Exception):
             futs[1].result(timeout=300.0)
+        # a failed request must not brick the server: fresh submits succeed
+        assert srv.submit(good[0]).result(timeout=300.0) is not None
+        assert srv.stats()["last_error"] is None
     finally:
         srv.close()

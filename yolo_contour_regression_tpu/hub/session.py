@@ -8,18 +8,22 @@ from pathlib import Path
 from typing import Dict, Optional
 
 HUB_DIR = Path.home() / ".ycr_hub"
-_KEY_FILE = HUB_DIR / "auth.json"
+
+
+def _key_file() -> Path:
+    # late-bound off HUB_DIR so tests can redirect the registry wholesale
+    return HUB_DIR / "auth.json"
 
 
 def login(api_key: str = "") -> bool:
     HUB_DIR.mkdir(parents=True, exist_ok=True)
-    _KEY_FILE.write_text(json.dumps({"api_key": api_key, "ts": time.time()}))
+    _key_file().write_text(json.dumps({"api_key": api_key, "ts": time.time()}))
     return True
 
 
 def logout():
-    if _KEY_FILE.exists():
-        _KEY_FILE.unlink()
+    if _key_file().exists():
+        _key_file().unlink()
 
 
 class HubSession:

@@ -88,18 +88,32 @@ def serve_http(
     imgsz: int = 640,
     max_batch: int = 32,
     max_delay_ms: float = 5.0,
-    warmup_buckets: Optional[list] = (1,),
+    warmup_buckets: Optional[list] = None,
     **server_kwargs,
 ) -> ThreadingHTTPServer:
     """Start an InferenceServer + HTTP frontend; returns the httpd (caller
-    runs ``httpd.serve_forever()``; ``httpd.engine`` is the InferenceServer)."""
+    runs ``httpd.serve_forever()``; ``httpd.engine`` is the InferenceServer).
+
+    ``warmup_buckets``: None (default) pre-traces EVERY bucket before
+    traffic — the documented serving contract; pass an explicit subset to
+    warm fewer, or ``()`` to skip warmup entirely (tests/dev)."""
     engine = InferenceServer(
         weights, imgsz=imgsz, max_batch=max_batch,
         max_delay_ms=max_delay_ms, **server_kwargs,
-    ).start()
-    if warmup_buckets:
-        engine.warmup(warmup_buckets)
+    )
+    # bind the port FIRST: an EADDRINUSE must fail fast, not after minutes
+    # of per-bucket XLA compiles (and must not leak a running dispatcher)
     httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    try:
+        engine.start()
+        if warmup_buckets is None:
+            engine.warmup()
+        elif warmup_buckets:
+            engine.warmup(warmup_buckets)
+    except BaseException:
+        httpd.server_close()
+        engine.close(drain=False)
+        raise
     httpd.engine = engine
     LOGGER.info(f"serve.http: listening on http://{host}:{port} (POST /predict)")
     return httpd

@@ -156,11 +156,11 @@ class InferenceServer:
             n_dev = int(np.prod(list(mesh.shape.values())))
             self.variables = replicate_tree(mesh, self.variables)
             self.max_batch = max(self.max_batch, n_dev)
-        self.buckets = sorted(set(int(b) for b in (buckets or _default_buckets(self.max_batch))))
+        raw = set(int(b) for b in (buckets or _default_buckets(self.max_batch)))
+        raw.add(self.max_batch)  # capacity bucket, rounded with the rest
         if n_dev > 1:
-            self.buckets = sorted({max(n_dev, (b + n_dev - 1) // n_dev * n_dev) for b in self.buckets})
-        if self.buckets[-1] < self.max_batch:
-            self.buckets.append(self.max_batch)
+            raw = {max(n_dev, (b + n_dev - 1) // n_dev * n_dev) for b in raw}
+        self.buckets = sorted(raw)
 
         predictor_cls = TASK_MAP[self.model.task]["predictor"]
         self._predictor = predictor_cls()
@@ -175,24 +175,37 @@ class InferenceServer:
         self._stats = ServerStats()
         self._thread: Optional[threading.Thread] = None
         self._closing = threading.Event()
-        self._fatal: Optional[BaseException] = None
+        self._last_error: Optional[str] = None  # observability, not a gate
 
     # -- lifecycle ----------------------------------------------------------
     def start(self) -> "InferenceServer":
         if self._thread is not None:
             return self
+        self._closing.clear()  # allow restart after close()
+        self._last_error = None
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True, name="serve-dispatch")
         self._thread.start()
         return self
 
+    def _place_input(self, x: np.ndarray):
+        """Device placement identical to the dispatch path — jit executables
+        are keyed on input shardings, so warmup MUST place inputs exactly
+        like live batches or its compiles are never reused."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            return jax.device_put(x, batch_sharding(self.mesh, x.ndim))
+        return jnp.asarray(x)
+
     def warmup(self, buckets: Optional[Sequence[int]] = None):
         """Pre-compile the eval graph for each bucket (first trace of the
         full model+NMS takes 20-40s on a tunneled TPU; do it before traffic)."""
-        import jax.numpy as jnp
-
         for b in buckets or self.buckets:
             t0 = time.perf_counter()
-            x = jnp.zeros((b, self.imgsz, self.imgsz, 3), jnp.float32)
+            x = self._place_input(np.zeros((b, self.imgsz, self.imgsz, 3), np.float32))
             out = self._eval_fn(self.variables, x)
             # block on a leaf so compile+execute both finish
             leaf = out["scores"] if isinstance(out, dict) else out
@@ -235,8 +248,6 @@ class InferenceServer:
     # -- request paths ------------------------------------------------------
     def submit(self, image_bgr: np.ndarray) -> Future:
         """Enqueue one BGR uint8 image (H, W, 3); returns Future[Results]."""
-        if self._fatal is not None:
-            raise RuntimeError("server dispatcher died") from self._fatal
         if self._thread is None or self._closing.is_set():
             raise RuntimeError("server not running (call start(), not after close())")
         req = _Request(np.asarray(image_bgr))
@@ -252,6 +263,7 @@ class InferenceServer:
         s = self._stats.snapshot()
         s["buckets"] = self.buckets
         s["queue_depth"] = self._queue.qsize()
+        s["last_error"] = self._last_error
         return s
 
     def reset_stats(self):
@@ -286,8 +298,6 @@ class InferenceServer:
         return batch
 
     def _dispatch_loop(self):
-        import jax.numpy as jnp
-
         while True:
             batch = self._take_batch()
             if batch is None or (not batch and self._closing.is_set()):
@@ -315,16 +325,7 @@ class InferenceServer:
                 bucket = next(b for b in self.buckets if b >= n)
                 stacked = np.zeros((bucket,) + xs[0].shape, np.float32)
                 stacked[:n] = np.stack(xs)
-                if self.mesh is not None:
-                    import jax
-                    from ..parallel.mesh import batch_sharding
-
-                    x_dev = jax.device_put(
-                        stacked, batch_sharding(self.mesh, stacked.ndim)
-                    )
-                else:
-                    x_dev = jnp.asarray(stacked)
-                out = self._eval_fn(self.variables, x_dev)
+                out = self._eval_fn(self.variables, self._place_input(stacked))
                 if isinstance(out, dict):
                     out = {k: np.asarray(v) for k, v in out.items()}
                 else:
@@ -351,13 +352,13 @@ class InferenceServer:
                         req.future.set_exception(e)
                 self._stats.record_batch(n, bucket, lats)
             except Exception as e:
-                # device/trace failure: fail this batch's futures; a second
-                # failure in a row is treated as fatal for new submissions
+                # device/trace failure: fail THIS batch's futures and keep
+                # serving — a transient error must not brick the server
+                # (surfaced in stats()['last_error'] for observability)
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
-                if self._fatal is not None:
-                    LOGGER.error(f"serve: dispatcher failing repeatedly: {e}")
-                self._fatal = e
+                self._last_error = f"{type(e).__name__}: {e}"
+                LOGGER.error(f"serve: batch failed: {self._last_error}")
             else:
-                self._fatal = None
+                self._last_error = None

@@ -20,9 +20,11 @@ DEFAULTS: Dict[str, Any] = {
 
 
 class SettingsManager(dict):
-    def __init__(self, path=SETTINGS_PATH):
+    def __init__(self, path=None):
         super().__init__(DEFAULTS)
-        self.path = Path(path)
+        # late-bound module attribute (not a def-time default) so tests can
+        # monkeypatch SETTINGS_PATH without touching real user config
+        self.path = Path(path or SETTINGS_PATH)
         try:
             if self.path.exists():
                 loaded = json.loads(self.path.read_text())
