@@ -35,6 +35,7 @@ import numpy as np
 
 BASELINE_IMGS_PER_SEC = 826.0  # A100 TensorRT yolov8n-seg (README.md:140,148)
 PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16 (public spec)
+PEAK_INT8_OPS = 394e12  # TPU v5e peak int8 (2x bf16) — MFU denominator for BENCH_INT8
 
 
 def measure(batch: int) -> dict:
@@ -144,7 +145,8 @@ def measure(batch: int) -> dict:
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
             flops_per_img = flops / batch
-            mfu = imgs_per_sec * flops_per_img / PEAK_BF16_FLOPS
+            peak = PEAK_INT8_OPS if os.environ.get("BENCH_INT8") else PEAK_BF16_FLOPS
+            mfu = imgs_per_sec * flops_per_img / peak
     except Exception:
         pass
 
