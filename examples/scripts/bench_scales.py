@@ -14,13 +14,21 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[2]
 
-A100_ANCHOR = {"yolov8n-seg": 826.0, "yolov8s-seg": 680.0, "yolov8m-seg": 459.0}
+A100_ANCHOR = {
+    "yolov8n-seg": 826.0,  # 1.21 ms A100-TensorRT (reference README.md:140)
+    "yolov8s-seg": 680.0,  # 1.47 ms (:141)
+    "yolov8m-seg": 459.0,  # 2.18 ms (:142)
+    "yolov8l-seg": 358.0,  # 2.79 ms (:143)
+    "yolov8x-seg": 249.0,  # 4.02 ms (:144)
+}
 # larger models need smaller batch ladders to bound compile size on the
 # tunneled chip
 LADDER = {
     "yolov8n-seg": (128, 64, 32),
     "yolov8s-seg": (128, 64, 32),
     "yolov8m-seg": (64, 32, 16),
+    "yolov8l-seg": (32, 16, 8),
+    "yolov8x-seg": (32, 16, 8),
 }
 
 
