@@ -237,3 +237,28 @@ def test_serve_bad_request_isolated(seg_handle):
         assert srv.stats()["last_error"] is None
     finally:
         srv.close()
+
+
+def test_serve_int8_handle():
+    """Serving a native-int8 handle: the server's fuse=True default must not
+    re-fuse it (nn/fuse.py idempotence) and results must match direct
+    quantized predict — the production deploy combo."""
+    rng = np.random.default_rng(8)
+    m = YOLO("yolov8n-seg.yaml")
+    m._ensure_variables(IMGSZ)
+    m.quantize([rng.uniform(0, 1, (1, IMGSZ, IMGSZ, 3)).astype(np.float32)])
+
+    imgs = _images(2, seed=8)
+    with InferenceServer(m, imgsz=IMGSZ, max_batch=2, max_delay_ms=50.0, conf=0.25) as srv:
+        got = srv.infer(imgs, timeout=300.0)
+
+    from yolo_contour_regression_tpu.engine.model import TASK_MAP
+
+    predictor = TASK_MAP["segment"]["predictor"]()
+    predictor.args.conf = 0.25
+    predictor.args.imgsz = IMGSZ
+    want = predictor(m.model, m.variables, imgs)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        if len(g):
+            np.testing.assert_allclose(g.boxes.data, w.boxes.data, rtol=1e-4, atol=1e-4)
