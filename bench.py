@@ -163,32 +163,25 @@ def measure(batch: int) -> dict:
     return out
 
 
-def main():
-    pinned = os.environ.get("BENCH_BATCH")
-    if pinned:
-        print(json.dumps(measure(int(pinned))))
-        return
+def probe():
+    """Tiny jit on the default device; proves the backend is alive.
 
-    # every batch runs in a timeout-guarded subprocess: a remote-compile
-    # stall (or a half-dead tunnel, where backend init HANGS rather than
-    # errors) must not take the whole benchmark down. Faster batches first,
-    # the always-reliable batch 16 last.
-    for batch, budget in ((128, 900), (64, 600), (32, 600), (16, 600)):
-        try:
-            env = dict(os.environ, BENCH_BATCH=str(batch))
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=budget,
-            )
-            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
-            rec = json.loads(line)
-            if r.returncode == 0 and rec.get("value", 0) > 0:
-                print(json.dumps(rec))
-                return
-        except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
-            pass
-    # nothing completed: report failure honestly rather than hanging the
-    # driver with an in-process attempt against an unreachable backend
+    Runs in a timeout-guarded subprocess because on this image a half-dead
+    tunnel makes backend init HANG (not error) inside make_c_api_client —
+    only an external kill gets control back.
+    """
+    import faulthandler
+
+    faulthandler.dump_traceback_later(55, exit=True)  # belt under the 60s kill
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    float((x @ x).sum())
+    print("PROBE_OK", jax.devices()[0].platform)
+
+
+def _fail(reason):
     name = os.environ.get("BENCH_MODEL", "yolov8n-seg")
     if os.environ.get("BENCH_INT8"):
         name += "-int8"
@@ -197,9 +190,56 @@ def main():
         "value": 0,
         "unit": "imgs/sec/chip",
         "vs_baseline": 0,
-        "error": "all timed attempts failed (device backend unreachable?)",
+        "error": reason,
     }))
 
 
+def main():
+    pinned = os.environ.get("BENCH_BATCH")
+    if pinned:
+        print(json.dumps(measure(int(pinned))))
+        return
+
+    # TOTAL wall time is bounded under the driver's budget (VERDICT r3 #1):
+    # 60s probe + 480s best-batch attempt + 180s fallback = 12 min worst case.
+    # Round 3's 4x full-budget ladder (45 min worst case) outlived the driver
+    # and produced rc=124 with no output at all.
+    here = os.path.abspath(__file__)
+
+    def run_sub(args, env, budget):
+        try:
+            r = subprocess.run(
+                [sys.executable, here, *args],
+                env=env, capture_output=True, text=True, timeout=budget,
+            )
+            return r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        except subprocess.TimeoutExpired:
+            return ""
+
+    # 1) backend probe: tiny jit, hard 60s kill. A dead/half-dead tunnel
+    #    fails here and the honest-failure JSON prints within one minute.
+    if "PROBE_OK" not in run_sub(["--probe"], dict(os.environ), 60):
+        _fail("backend probe failed within 60s (tunnel down?)")
+        return
+
+    # 2) at most two timed attempts: the headline batch, then the small
+    #    always-reliable fallback. Each in its own subprocess so a
+    #    remote-compile stall can't exceed its budget.
+    for batch, budget in ((int(os.environ.get("BENCH_BATCH_MAIN", "128")), 480),
+                          (16, 180)):
+        line = run_sub([], dict(os.environ, BENCH_BATCH=str(batch)), budget)
+        try:
+            rec = json.loads(line)
+            if rec.get("value", 0) > 0:
+                print(json.dumps(rec))
+                return
+        except (json.JSONDecodeError, ValueError):
+            pass
+    _fail("probe ok but timed attempts failed within budget")
+
+
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        probe()
+    else:
+        main()
