@@ -1,7 +1,9 @@
 """Inference source loaders (reference data/loaders.py): files, dirs, arrays,
-videos, and the mss-gated screenshot stream (driven with a fake mss)."""
+videos, the mss-gated screenshot stream (driven with a fake mss), and the
+threaded multi-stream batch loader (driven with fake cameras)."""
 import itertools
 import sys
+import time
 import types
 
 import numpy as np
@@ -9,6 +11,7 @@ import pytest
 
 cv2 = pytest.importorskip("cv2")
 
+from yolo_contour_regression_tpu.data.streams import LoadStreams  # noqa: E402
 from yolo_contour_regression_tpu.engine.predictor import iter_source  # noqa: E402
 
 
@@ -79,3 +82,138 @@ def test_iter_screenshots_fake_mss(monkeypatch):
     grabs.clear()
     frame_name, frame = next(iter(iter_source("screen")))
     assert frame_name == "screen0#frame0" and frame.shape == (600, 800, 3)
+
+
+# ---------------------------------------------------------------- LoadStreams
+class FakeCap:
+    """cv2.VideoCapture-compatible synthetic camera: serves preset frames."""
+
+    def __init__(self, frames):
+        self.frames = list(frames)
+        self.i = 0
+        self.opened = True
+        self._grabbed = None
+
+    def isOpened(self):
+        return self.opened
+
+    def grab(self):
+        if self.i >= len(self.frames):
+            return False
+        self._grabbed = self.frames[self.i]
+        self.i += 1
+        return True
+
+    def retrieve(self):
+        return self._grabbed is not None, self._grabbed
+
+    def read(self):
+        return (False, None) if not self.grab() else self.retrieve()
+
+    def release(self):
+        self.opened = False
+
+
+def _frames(stream_id, n, size=8):
+    """n frames whose pixel value encodes (stream, frame) for demux checks."""
+    return [
+        np.full((size, size, 3), stream_id * 10 + j, np.uint8) for j in range(n)
+    ]
+
+
+def test_loadstreams_batches_and_drains():
+    """4 fake streams, FIFO buffering: every step yields one frame per stream
+    in order; iteration stops when all streams are drained."""
+    caps = {str(i): FakeCap(_frames(i, 3)) for i in range(4)}
+    with LoadStreams(list(caps), buffer=True, open_fn=lambda s: caps[s]) as ld:
+        batches = list(ld)
+    assert len(ld) == 4
+    assert len(batches) == 3
+    for j, (paths, frames) in enumerate(batches):
+        assert len(paths) == len(frames) == 4
+        for i, f in enumerate(frames):
+            assert f[0, 0, 0] == i * 10 + j  # per-stream FIFO order preserved
+    assert ld.frames_read == [3, 3, 3, 3] and ld.frames_dropped == [0] * 4
+
+
+def test_loadstreams_ended_stream_reserves_last_frame():
+    """A stream that ends early re-serves its final frame so the batch shape
+    (and the compiled program) never changes."""
+    caps = {"a": FakeCap(_frames(0, 2)), "b": FakeCap(_frames(1, 4))}
+    with LoadStreams(["a", "b"], buffer=True, open_fn=lambda s: caps[s]) as ld:
+        batches = list(ld)
+    assert len(batches) == 4
+    # steps 2,3: stream "a" is dead -> last frame (value 1) re-served
+    for j in (2, 3):
+        assert batches[j][1][0][0, 0, 0] == 1
+        assert batches[j][1][1][0, 0, 0] == 10 + j
+
+
+def test_loadstreams_live_mode_drops_stale_frames():
+    """buffer=False keeps only the newest frame per stream (live-camera
+    semantics): a slow consumer sees dropped frames, ending on the latest."""
+    cap = FakeCap(_frames(0, 50))
+    ld = LoadStreams(["cam"], buffer=False, open_fn=lambda s: cap)
+    # let the reader thread run ahead of the consumer
+    for _ in range(200):
+        if not ld._alive[0]:
+            break
+        time.sleep(0.005)
+    last = None
+    for _, frames in ld:
+        last = frames[0]
+    assert last[0, 0, 0] == 49  # newest frame wins
+    assert ld.frames_dropped[0] > 0
+    ld.close()
+
+
+def test_loadstreams_file_and_errors(tmp_path):
+    lst = tmp_path / "cams.streams"
+    lst.write_text("0\n1\n\n")
+    caps = {s: FakeCap(_frames(int(s), 1)) for s in ("0", "1")}
+    with LoadStreams(lst, open_fn=lambda s: caps[s]) as ld:
+        assert ld.sources == ["0", "1"]
+    with pytest.raises(ValueError):
+        LoadStreams([], open_fn=lambda s: FakeCap(_frames(0, 1)))
+    with pytest.raises(ConnectionError):
+        LoadStreams(["dead"], open_fn=lambda s: FakeCap([]))
+
+
+def test_loadstreams_vid_stride():
+    cap = FakeCap(_frames(0, 9))
+    with LoadStreams(["cam"], vid_stride=2, buffer=True, open_fn=lambda s: cap) as ld:
+        batches = list(ld)
+    # frame 0 from the constructor read, then every 2nd of the remaining 8
+    vals = [f[0][0, 0, 0] for _, f in batches]
+    assert vals == [0, 2, 4, 6, 8]
+
+
+def test_predict_multistream_single_batched_dispatch(monkeypatch):
+    """End-to-end: N=4 synthetic streams through the segment predictor are
+    batched per dispatch (one batch-4 eval per step) and demuxed per stream
+    (VERDICT r3 #6; reference loaders.py:31,68)."""
+    from yolo_contour_regression_tpu import YOLO
+    from yolo_contour_regression_tpu.engine import predictor as P
+
+    shapes = []
+    orig_build = P.SegmentationPredictor._build_eval
+
+    def spy(self, model):
+        fn = orig_build(self, model)
+
+        def wrapped(variables, images):
+            shapes.append(tuple(images.shape))
+            return fn(variables, images)
+
+        return wrapped
+
+    monkeypatch.setattr(P.SegmentationPredictor, "_build_eval", spy)
+
+    caps = {str(i): FakeCap(_frames(i, 2, size=32)) for i in range(4)}
+    loader = LoadStreams(list(caps), buffer=True, open_fn=lambda s: caps[s])
+    m = YOLO("yolov8n-seg.yaml")
+    results = m.predict(loader, imgsz=64)
+    assert len(results) == 8  # 2 steps x 4 streams, flattened
+    assert shapes == [(4, 64, 64, 3)] * 2  # one batch-N dispatch per step
+    # per-stream demux: path ids carry the stream spec
+    assert [r.path.split("#")[0] for r in results[:4]] == ["0", "1", "2", "3"]
