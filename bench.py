@@ -79,17 +79,21 @@ def measure(batch: int) -> dict:
         )
         model_name += "-int8"
 
+    # lazy decode (boxes/scores + [rays|anchor] pre-NMS, contours rebuilt for
+    # survivors only) was built to kill the (B, A, 36, 2) HBM tensor, but the
+    # on-chip ablation (runs/bench_ablate.json, r4) measured it slightly
+    # SLOWER than the full decode at the headline batch 128 (7,240 vs 7,493
+    # img/s) — XLA already fuses the full decode well. Default to full
+    # decode; BENCH_LAZY=1 keeps the variant measurable.
+    lazy = bool(os.environ.get("BENCH_LAZY"))
+
     def one_iter(variables, raw_u8, acc):
         from yolo_contour_regression_tpu.nn.modules.head import (
             finalize_polar_extras,
         )
 
         x = raw_u8.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
-        # lazy polar decode: boxes/scores + [rays|anchor] pre-NMS, contour
-        # points reconstructed for the max_det survivors only — identical
-        # outputs to the full decode, minus the (B, A, 36, 2) HBM tensor
-        # (runs/bench_ablate.json showed it was the batch-256 cliff)
-        pred = model.predict_lazy(variables, x)
+        pred = model.predict_lazy(variables, x) if lazy else model.predict(variables, x)
         # pre_nms=300 == max_det: the smallest candidate pre-select that
         # keeps full output capacity. mAP-neutral even at val conf=0.001 on
         # the trained floor model (runs/floor/floor.json pre_nms_delta:
@@ -99,6 +103,10 @@ def measure(batch: int) -> dict:
             pred.astype(jnp.float32), nc=model.nc, conf_thres=0.25,
             iou_thres=0.7, pre_nms=300, max_det=300,
         )
+        if not lazy:
+            # carry the gathered contour extras too, else XLA dead-code
+            # eliminates the entire polar decode from the timed graph
+            return out["scores"].sum() + out["extras"].sum() * 1e-12
         ex = finalize_polar_extras(out["extras"])
         # fold the finalized contours into the carried scalar so the
         # post-NMS decode stays live in the timed graph
