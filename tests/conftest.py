@@ -11,6 +11,13 @@ Environment gotchas on this image (see .claude/skills/verify/SKILL.md):
 """
 import os
 
+# the image exports JAX_PLATFORMS=axon globally and the package __init__
+# HONORS that env (it re-applies it over any earlier jax.config.update, by
+# design — see __init__.py:17), so overriding the env var itself is the only
+# way to keep tests off the tunneled TPU: full f32 matmul precision,
+# no tunnel flakiness, and benches can run on the chip concurrently
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

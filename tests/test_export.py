@@ -139,6 +139,70 @@ def test_vendor_format_raises_with_recipe():
         m.export(format="not_a_format", imgsz=64)
 
 
+def test_openvino_export_with_fake_package(tmp_path, monkeypatch):
+    """When the pure-python openvino package IS importable, the openvino
+    format is a real conversion over the native onnx artifact (reference
+    exporter.py export_openvino), not a recipe. Proven with a recording fake
+    package, like the callback-sink suite."""
+    import sys
+    import types
+
+    from yolo_contour_regression_tpu import YOLO
+
+    calls = {}
+    fake = types.ModuleType("openvino")
+
+    def convert_model(src):
+        calls["src"] = str(src)
+        return "OVMODEL"
+
+    def save_model(model, out):
+        calls["model"] = model
+        calls["out"] = str(out)
+        Path(out).write_text("<xml/>")
+
+    fake.convert_model = convert_model
+    fake.save_model = save_model
+    monkeypatch.setitem(sys.modules, "openvino", fake)
+
+    m = YOLO("yolov8n-seg.yaml")
+    p = m.export(format="openvino", imgsz=64, project=str(tmp_path))
+    assert p.endswith("_openvino")
+    assert calls["model"] == "OVMODEL"
+    # the conversion source is the exporter's own onnx artifact, on disk
+    assert calls["src"].endswith(".onnx") and Path(calls["src"]).exists()
+    assert calls["out"].endswith(".xml")
+
+
+@pytest.mark.heavy
+def test_tfjs_export_with_fake_package(tmp_path, monkeypatch):
+    """tfjs mirrors the openvino contract over the saved_model precursor
+    (reference exporter.py export_tfjs). Heavy: the precursor runs real
+    jax2tf."""
+    import sys
+    import types
+
+    from yolo_contour_regression_tpu import YOLO
+
+    calls = {}
+    pkg = types.ModuleType("tensorflowjs")
+    conv = types.ModuleType("tensorflowjs.converters")
+
+    def convert_tf_saved_model(sm, out):
+        calls["src"], calls["out"] = str(sm), str(out)
+        Path(out).mkdir(parents=True, exist_ok=True)
+
+    conv.convert_tf_saved_model = convert_tf_saved_model
+    pkg.converters = conv
+    monkeypatch.setitem(sys.modules, "tensorflowjs", pkg)
+    monkeypatch.setitem(sys.modules, "tensorflowjs.converters", conv)
+
+    m = YOLO("yolov8n-seg.yaml")
+    p = m.export(format="tfjs", imgsz=64, project=str(tmp_path))
+    assert p.endswith("_web_model")
+    assert Path(calls["src"]).exists()  # real saved_model precursor
+
+
 @pytest.mark.heavy
 def test_pb_frozen_graph_export(tmp_path):
     """pb = frozen TF GraphDef (reference exporter.py export_pb): the file

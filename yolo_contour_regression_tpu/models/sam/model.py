@@ -30,6 +30,10 @@ class Sam:
     """Functional SAM: variables pytree + pure apply fns."""
 
     mask_threshold: float = 0.0
+    # official SAM input normalization ((x_255 - mean) / std, zero-padded
+    # AFTER normalize) — required for converted pretrained checkpoints
+    pixel_mean = np.array([123.675, 116.28, 103.53], np.float32)
+    pixel_std = np.array([58.395, 57.12, 57.375], np.float32)
 
     def __init__(self, variant: str = "sam_b", img_size: int = 1024, dtype=jnp.float32):
         self.img_size = img_size
@@ -68,8 +72,28 @@ class Sam:
 
     # -- pure fns -------------------------------------------------------------
     def encode_image(self, variables, image):
-        """image (B, S, S, 3) float [0,1] -> embeddings (B, S/16, S/16, 256)."""
+        """image (B, S, S, 3) float, normalized per ``pixel_mean``/``std``
+        -> embeddings (B, S/16, S/16, 256)."""
         return self.encoder.apply(variables["encoder"], image)
+
+    def load_torch_weights(self, source, strict: bool = True):
+        """Load an official SAM checkpoint (``sam_vit_b/l/h .pth`` state
+        dict, reference models/sam/build.py:133 attempt_download + load) —
+        ``source`` is a path or an already-extracted name->numpy dict."""
+        from ...utils.torch_convert import (
+            convert_sam_state_dict,
+            extract_state_dict,
+            load_torch_checkpoint,
+        )
+
+        if not isinstance(source, dict):
+            source = extract_state_dict(load_torch_checkpoint(source))
+        if self.variables is None:
+            self.init()
+        self.variables, report = convert_sam_state_dict(
+            source, self.variables, strict=strict
+        )
+        return report
 
     def decode_prompts(self, variables, embeddings, points, labels, multimask=True):
         sparse, dense, image_pe = self.prompt_encoder.apply(
@@ -111,8 +135,9 @@ class Predictor:
         r = min(s / image.shape[0], s / image.shape[1])
         nh, nw = round(image.shape[0] * r), round(image.shape[1] * r)
         resized = cv2.resize(image, (nw, nh))
+        rgb = cv2.cvtColor(resized, cv2.COLOR_BGR2RGB).astype(np.float32)
         canvas = np.zeros((s, s, 3), np.float32)
-        canvas[:nh, :nw] = cv2.cvtColor(resized, cv2.COLOR_BGR2RGB) / 255.0
+        canvas[:nh, :nw] = (rgb - self.model.pixel_mean) / self.model.pixel_std
         self._scale = r
         self._emb = self._encode(self.model.variables, jnp.asarray(canvas)[None])
 
@@ -128,6 +153,11 @@ class Predictor:
             b = np.asarray(box, np.float32) * self._scale
             pts.extend([b[:2], b[2:]])
             labs.extend([2, 3])
+        else:
+            # official _embed_points pads a (0,0)/-1 point whenever no box
+            # prompt is present — checkpoint numerics depend on it
+            pts.append([0.0, 0.0])
+            labs.append(-1)
         if not pts:
             pts, labs = [[0.0, 0.0]], [-1]
         p = jnp.asarray(np.asarray(pts, np.float32))[None]
@@ -162,7 +192,20 @@ class SAM:
     """User-facing handle (reference models/sam/model.py SAM)."""
 
     def __init__(self, model: str = "sam_b", img_size: int = 1024):
-        self.model = build_sam(model, img_size)
+        if str(model).endswith((".pt", ".pth")):
+            # checkpoint path: infer the variant from the filename
+            # (sam_b.pt / sam_vit_l.pth / mobile_sam.pt ...), build, convert
+            stem = str(model).rsplit("/", 1)[-1]
+            variant = next(
+                (v for v in ("sam_h", "sam_l", "sam_b", "mobile_sam", "sam_t")
+                 if v in stem or v.replace("sam_", "vit_") in stem),
+                "sam_b",
+            )
+            self.model = build_sam(variant, img_size)
+            self.model.init()
+            self.model.load_torch_weights(model)
+        else:
+            self.model = build_sam(model, img_size)
         self.predictor: Optional[Predictor] = None
 
     def predict(self, source, points=None, labels=None, bboxes=None, **kw):

@@ -18,6 +18,13 @@ import numpy as np
 from flax import linen as nn
 
 
+def _gelu(x):
+    # exact (erf) gelu: torch nn.GELU's default, which the official SAM
+    # checkpoints were trained with — jax's default tanh approximation
+    # differs by ~1e-3, enough to break weight-conversion parity
+    return nn.gelu(x, approximate=False)
+
+
 class MLPBlock(nn.Module):
     mlp_dim: int
     dtype: Any = jnp.float32
@@ -25,7 +32,7 @@ class MLPBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        h = nn.gelu(nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x))
+        h = _gelu(nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x))
         return nn.Dense(d, dtype=self.dtype, name="lin2")(h)
 
 
@@ -94,6 +101,7 @@ class ViTBlock(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         shortcut = x
+        # official encoder ViT blocks use eps=1e-6 (build_sam norm_layer)
         x = nn.LayerNorm(name="norm1")(x)
         if self.window_size > 0:
             x, pad_hw = window_partition(x, self.window_size)
@@ -219,34 +227,69 @@ class PromptEncoder(nn.Module):
         return emb, dense, image_pe
 
 
+class DownsampleAttention(nn.Module):
+    """Decoder attention with explicit q/k/v/out projections whose internal
+    width is ``C // downsample_rate`` (reference transformer.py Attention).
+    The official SAM checkpoints use downsample_rate=2 on every cross- and
+    final-attention (internal dim 128 at C=256) — the projection weight
+    shapes depend on it, so matching it is a hard requirement for loading
+    converted weights (utils/torch_convert.py:convert_sam_state_dict)."""
+
+    num_heads: int = 8
+    downsample_rate: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        C = q.shape[-1]
+        d = C // self.downsample_rate
+        hd = d // self.num_heads
+        qp = nn.Dense(d, dtype=self.dtype, name="q_proj")(q)
+        kp = nn.Dense(d, dtype=self.dtype, name="k_proj")(k)
+        vp = nn.Dense(d, dtype=self.dtype, name="v_proj")(v)
+
+        def heads(x):
+            return x.reshape(*x.shape[:2], self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads(qp), heads(kp), heads(vp)
+        attn = nn.softmax((qh / math.sqrt(hd)) @ kh.transpose(0, 1, 3, 2), axis=-1)
+        out = (attn @ vh).transpose(0, 2, 1, 3).reshape(*q.shape[:2], d)
+        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+
+
 class TwoWayAttentionBlock(nn.Module):
     """(reference transformer.py TwoWayAttentionBlock)."""
 
     num_heads: int = 8
     mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
     skip_first_layer_pe: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
-        mha = lambda name: nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name=name
-        )
+        def mha(name, ds=1):
+            return DownsampleAttention(
+                self.num_heads, downsample_rate=ds, dtype=self.dtype, name=name
+            )
+
+        ds = self.attention_downsample_rate
         if self.skip_first_layer_pe:
             queries = mha("self_attn")(queries, queries, queries)
         else:
             q = queries + query_pe
             queries = queries + mha("self_attn")(q, q, queries)
-        queries = nn.LayerNorm(name="norm1")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries)
         q = queries + query_pe
         k = keys + key_pe
-        queries = queries + mha("cross_attn_token_to_image")(q, k, keys)
-        queries = nn.LayerNorm(name="norm2")(queries)
+        queries = queries + mha("cross_attn_token_to_image", ds)(q, k, keys)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries)
         queries = queries + MLPBlock(self.mlp_dim, dtype=self.dtype, name="mlp")(queries)
-        queries = nn.LayerNorm(name="norm3")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm3")(queries)
         q = queries + query_pe
-        keys = keys + mha("cross_attn_image_to_token")(k, q, queries)
-        keys = nn.LayerNorm(name="norm4")(keys)
+        k = keys + key_pe
+        keys = keys + mha("cross_attn_image_to_token", ds)(k, q, queries)
+        keys = nn.LayerNorm(epsilon=1e-5, name="norm4")(keys)
         return queries, keys
 
 
@@ -254,6 +297,7 @@ class TwoWayTransformer(nn.Module):
     depth: int = 2
     num_heads: int = 8
     mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -264,15 +308,18 @@ class TwoWayTransformer(nn.Module):
         queries = point_embedding
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(
-                self.num_heads, self.mlp_dim, skip_first_layer_pe=i == 0,
+                self.num_heads, self.mlp_dim,
+                attention_downsample_rate=self.attention_downsample_rate,
+                skip_first_layer_pe=i == 0,
                 dtype=self.dtype, name=f"layer{i}",
             )(queries, keys, point_embedding, key_pe)
         q = queries + point_embedding
         k = keys + key_pe
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="final_attn"
+        attn = DownsampleAttention(
+            self.num_heads, downsample_rate=self.attention_downsample_rate,
+            dtype=self.dtype, name="final_attn",
         )(q, k, keys)
-        queries = nn.LayerNorm(name="norm_final")(queries + attn)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm_final")(queries + attn)
         return queries, keys
 
 
@@ -282,6 +329,9 @@ class MaskDecoder(nn.Module):
 
     transformer_dim: int = 256
     num_multimask_outputs: int = 3
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    iou_head_hidden: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -299,9 +349,10 @@ class MaskDecoder(nn.Module):
         )
         tokens = jnp.concatenate([out_tokens, sparse_prompt], axis=1)
         src = image_embeddings + dense_prompt
-        hs, keys = TwoWayTransformer(dtype=self.dtype, name="transformer")(
-            src, image_pe, tokens
-        )
+        hs, keys = TwoWayTransformer(
+            num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+            dtype=self.dtype, name="transformer",
+        )(src, image_pe, tokens)
         iou_tok_out = hs[:, 0]
         mask_toks = hs[:, 1 : 1 + num_tokens]
 
@@ -311,12 +362,12 @@ class MaskDecoder(nn.Module):
             self.transformer_dim // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
             name="upscale0",
         )(src2)
-        up = nn.gelu(nn.LayerNorm(name="upscale_ln")(up))
+        up = _gelu(nn.LayerNorm(name="upscale_ln")(up))
         up = nn.ConvTranspose(
             self.transformer_dim // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
             name="upscale1",
         )(up)
-        up = nn.gelu(up)  # (B, 4h, 4w, C/8)
+        up = _gelu(up)  # (B, 4h, 4w, C/8)
 
         hyper = []
         for i in range(num_tokens):
@@ -330,7 +381,8 @@ class MaskDecoder(nn.Module):
         masks = jnp.einsum("btc,bhwc->bthw", hyper, up)
         from ...nn.modules.transformer import MLP
 
-        iou_pred = MLP(256, num_tokens, 3, dtype=self.dtype, name="iou_head")(iou_tok_out)
+        iou_pred = MLP(self.iou_head_hidden, num_tokens, 3,
+                       dtype=self.dtype, name="iou_head")(iou_tok_out)
         if multimask_output:
             return masks[:, 1:], iou_pred[:, 1:]
         return masks[:, :1], iou_pred[:, :1]

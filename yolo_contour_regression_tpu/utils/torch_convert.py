@@ -261,6 +261,180 @@ def convert_state_dict(
     return new_vars, report
 
 
+# ---------------------------------------------------------------------------
+# SAM checkpoints (official segment-anything sam_vit_b/l/h state dicts;
+# reference models/sam/build.py:133 loads them via attempt_download +
+# load_state_dict — this is the torch-free equivalent for the flax SAM in
+# models/sam/modules.py)
+# ---------------------------------------------------------------------------
+
+# checkpoint tensors with no counterpart here: mask-prompt downscaling CNN
+# (the flax PromptEncoder supports point/box prompts; dense prompt is the
+# learned no-mask embedding, the only mode the reference predictor exercises)
+_SAM_SKIP = ("prompt_encoder.mask_downscaling",)
+
+
+def _sam_ln(path, leaf, arr):
+    return (path + ({"weight": "scale", "bias": "bias"}[leaf],), arr)
+
+
+def _sam_dense(path, leaf, arr):
+    return (path + ("kernel",), arr.T) if leaf == "weight" else (path + ("bias",), arr)
+
+
+def _sam_map_key(key: str, arr: np.ndarray):
+    """One official-SAM tensor name -> (section, flax path, array) or None
+    (skip). Raises KeyError for unrecognized names so callers can report."""
+    toks = key.split(".")
+    sec, rest = toks[0], toks[1:]
+
+    if sec == "image_encoder":
+        if rest == ["pos_embed"]:
+            return "encoder", ("pos_embed",), arr  # stored (1, h, w, C) already
+        if rest[:2] == ["patch_embed", "proj"]:
+            if rest[2] == "weight":
+                return "encoder", ("patch_embed", "kernel"), arr.transpose(2, 3, 1, 0)
+            return "encoder", ("patch_embed", "bias"), arr
+        if rest[0] == "blocks":
+            base, sub, leaf = (f"block{rest[1]}",), rest[2:-1], rest[-1]
+            if sub[0] in ("norm1", "norm2"):
+                return ("encoder",) + _sam_ln(base + (sub[0],), leaf, arr)
+            if sub == ["attn"] and leaf in ("rel_pos_h", "rel_pos_w"):
+                return "encoder", base + ("attn", leaf), arr
+            if sub == ["attn", "qkv"] or sub == ["attn", "proj"]:
+                return ("encoder",) + _sam_dense(base + tuple(sub), leaf, arr)
+            if sub[0] == "mlp":
+                return ("encoder",) + _sam_dense(base + ("mlp", sub[1]), leaf, arr)
+        if rest[0] == "neck":
+            idx, leaf = rest[1], rest[2]
+            if idx in ("0", "2"):  # 1x1 / 3x3 convs, bias-free
+                name = "neck0" if idx == "0" else "neck1"
+                return "encoder", (name, "kernel"), arr.transpose(2, 3, 1, 0)
+            name = "neck_ln0" if idx == "1" else "neck_ln1"  # LayerNorm2d
+            return ("encoder",) + _sam_ln((name,), leaf, arr)
+
+    if sec == "prompt_encoder":
+        if rest[0] == "pe_layer":
+            return "prompt", ("pe_layer", "positional_encoding_gaussian_matrix"), arr
+        if rest[0] == "point_embeddings":
+            return "prompt", (f"point_embed{rest[1]}",), arr
+        if rest[0] == "not_a_point_embed":
+            return "prompt", ("not_a_point_embed",), arr
+        if rest[0] == "no_mask_embed":
+            return "prompt", ("no_mask_embed",), arr
+
+    if sec == "mask_decoder":
+        if rest[0] in ("iou_token", "mask_tokens"):
+            return "decoder", (rest[0],), arr
+        if rest[0] == "transformer":
+            if rest[1] == "layers":
+                base, sub, leaf = (f"layer{rest[2]}",), rest[3:-1], rest[-1]
+            elif rest[1] == "final_attn_token_to_image":
+                base, sub, leaf = ("final_attn",), rest[2:-1], rest[-1]
+            elif rest[1] == "norm_final_attn":
+                return ("decoder",) + _sam_ln(("transformer", "norm_final"), rest[-1], arr)
+            else:
+                raise KeyError(key)
+            if sub and sub[0].startswith("norm"):
+                return ("decoder",) + _sam_ln(("transformer",) + base + (sub[0],), leaf, arr)
+            if sub and sub[0] == "mlp":
+                return ("decoder",) + _sam_dense(
+                    ("transformer",) + base + ("mlp", sub[1]), leaf, arr)
+            # attention q/k/v/out projections (DownsampleAttention Dense)
+            return ("decoder",) + _sam_dense(("transformer",) + base + tuple(sub), leaf, arr)
+        if rest[0] == "output_upscaling":
+            idx, leaf = rest[1], rest[2]
+            if idx in ("0", "3"):
+                name = "upscale0" if idx == "0" else "upscale1"
+                if leaf == "weight":
+                    # ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in,
+                    # out) WITH a spatial flip: torch scatters the kernel
+                    # as-is while lax.conv_transpose correlates, so the taps
+                    # are mirrored (verified exact in test_sam_convert)
+                    return "decoder", (name, "kernel"), np.ascontiguousarray(
+                        arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+                return "decoder", (name, "bias"), arr
+            return ("decoder",) + _sam_ln(("upscale_ln",), leaf, arr)
+        if rest[0] == "output_hypernetworks_mlps":
+            return ("decoder",) + _sam_dense(
+                (f"hyper{rest[1]}", f"layers{rest[3]}"), rest[-1], arr)
+        if rest[0] == "iou_prediction_head":
+            return ("decoder",) + _sam_dense(
+                ("iou_head", f"layers{rest[2]}"), rest[-1], arr)
+
+    raise KeyError(key)
+
+
+def convert_sam_state_dict(
+    state: Dict[str, np.ndarray],
+    variables: Dict[str, Any],
+    strict: bool = True,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map an official SAM state dict onto ``Sam.init()`` variables
+    ({'encoder'|'prompt'|'decoder': {'params': ...}}). strict=True raises on
+    any unrecognized/unplaceable tensor or shape mismatch (pretrained weights
+    must land whole — a silently partial SAM produces garbage masks)."""
+    import copy
+
+    from flax.core import unfreeze  # no-op on plain dicts
+
+    new_vars = copy.deepcopy({k: unfreeze(v) for k, v in variables.items()})
+    converted, skipped, missed = [], [], []
+    touched = set()
+    for key, arr in state.items():
+        if key.startswith(_SAM_SKIP):
+            skipped.append(key)
+            continue
+        try:
+            sec, path, new_arr = _sam_map_key(key, np.asarray(arr))
+        except KeyError:
+            missed.append(f"{key} (unrecognized)")
+            continue
+        full = ("params",) + path
+        tgt = _get(new_vars[sec], full)
+        # works on real arrays AND jax.ShapeDtypeStruct trees (eval_shape)
+        tgt_shape = getattr(tgt, "shape", None) if tgt is not None else None
+        if tgt is None or tuple(tgt_shape) != tuple(new_arr.shape):
+            missed.append(
+                f"{key} -> {sec}/{'/'.join(path)} "
+                f"(target {'missing' if tgt is None else tgt_shape}, src {new_arr.shape})"
+            )
+            continue
+        _set(new_vars[sec], full, new_arr.astype(getattr(tgt, "dtype", new_arr.dtype)))
+        touched.add((sec,) + full)
+        converted.append(key)
+
+    unmatched = []
+
+    def scan(tree, pre):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                scan(v, pre + (k,))
+            elif pre + (k,) not in touched:
+                unmatched.append("/".join(pre + (k,)))
+
+    for sec in new_vars:
+        scan(new_vars[sec], (sec,))
+
+    report = {
+        "converted": len(converted),
+        "skipped": skipped,
+        "missed": missed,
+        "unmatched_target": unmatched,
+    }
+    if (missed or unmatched) and strict:
+        raise ValueError(
+            f"SAM conversion incomplete: {len(missed)} source tensors missed "
+            f"(e.g. {missed[:3]}), {len(unmatched)} target leaves unfilled "
+            f"(e.g. {unmatched[:3]})"
+        )
+    if missed or unmatched:
+        LOGGER.warning(
+            f"SAM conversion partial: {len(missed)} missed, {len(unmatched)} unfilled"
+        )
+    return new_vars, report
+
+
 def convert_torch_checkpoint(
     pt_path,
     model_yaml,
