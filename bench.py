@@ -79,31 +79,39 @@ def measure(batch: int) -> dict:
         )
         model_name += "-int8"
 
-    # lazy decode (boxes/scores + [rays|anchor] pre-NMS, contours rebuilt for
-    # survivors only) was built to kill the (B, A, 36, 2) HBM tensor, but the
-    # on-chip ablation (runs/bench_ablate.json, r4) measured it slightly
-    # SLOWER than the full decode at the headline batch 128 (7,240 vs 7,493
-    # img/s) — XLA already fuses the full decode well. Default to full
-    # decode; BENCH_LAZY=1 keeps the variant measurable.
-    lazy = bool(os.environ.get("BENCH_LAZY"))
+    # pipeline variants, newest first (BENCH_PIPE = parts|full|lazy):
+    #   parts (default): predict_parts -> non_max_suppression_parts ->
+    #     finalize survivors. No (B, C, A) layout round-trip, no full-tensor
+    #     f32 cast, no 108-column contour materialization — equivalence
+    #     pinned by test_nms.py::test_parts_path_matches_reference_layout.
+    #   full: the reference-layout path ((B, 4+nc+108, A) + transpose + f32
+    #     cast), kept measurable as the export-contract baseline.
+    #   lazy: the r3 lazy-decode variant (same layout, 38-col extras).
+    pipe = os.environ.get("BENCH_PIPE", "parts")
+    if os.environ.get("BENCH_LAZY"):  # back-compat alias
+        pipe = "lazy"
 
     def one_iter(variables, raw_u8, acc):
         from yolo_contour_regression_tpu.nn.modules.head import (
             finalize_polar_extras,
         )
+        from yolo_contour_regression_tpu.ops.nms import non_max_suppression_parts
 
         x = raw_u8.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
-        pred = model.predict_lazy(variables, x) if lazy else model.predict(variables, x)
         # pre_nms=300 == max_det: the smallest candidate pre-select that
         # keeps full output capacity. mAP-neutral even at val conf=0.001 on
         # the trained floor model (runs/floor/floor.json pre_nms_delta:
         # 512==1024==4096, and measured identical down to 128); the (k,k)
         # suppression matrix shrink is worth ~5% pipeline throughput vs 512
-        out = non_max_suppression(
-            pred.astype(jnp.float32), nc=model.nc, conf_thres=0.25,
-            iou_thres=0.7, pre_nms=300, max_det=300,
-        )
-        if not lazy:
+        kw = dict(conf_thres=0.25, iou_thres=0.7, pre_nms=300, max_det=300)
+        if pipe == "parts":
+            boxes, scores, extras = model.predict_parts(variables, x)
+            out = non_max_suppression_parts(boxes, scores, extras, **kw)
+            ex = finalize_polar_extras(out["extras"])
+            return out["scores"].sum() + ex.sum() * 1e-12
+        pred = (model.predict_lazy if pipe == "lazy" else model.predict)(variables, x)
+        out = non_max_suppression(pred.astype(jnp.float32), nc=model.nc, **kw)
+        if pipe == "full":
             # carry the gathered contour extras too, else XLA dead-code
             # eliminates the entire polar decode from the timed graph
             return out["scores"].sum() + out["extras"].sum() * 1e-12

@@ -84,9 +84,28 @@ def measure(batch: int) -> dict:
         ex = finalize_polar_extras(out["extras"])
         return out["scores"].sum() + ex.sum() * 1e-12
 
+    def stage_full_parts(variables, raw, x0, acc):
+        # the r4 hot path (bench.py default): unconcatenated (B, A, .)
+        # decode straight into parts-NMS — no (B, C, A) transpose round-trip,
+        # no full-tensor f32 cast, no pre-NMS contour materialization
+        from yolo_contour_regression_tpu.nn.modules.head import (
+            finalize_polar_extras,
+        )
+        from yolo_contour_regression_tpu.ops.nms import non_max_suppression_parts
+
+        x = raw.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
+        boxes, scores, extras = model.predict_parts(variables, x)
+        out = non_max_suppression_parts(
+            boxes, scores, extras, conf_thres=0.25, iou_thres=0.7,
+            pre_nms=300, max_det=300,
+        )
+        ex = finalize_polar_extras(out["extras"])
+        return out["scores"].sum() + ex.sum() * 1e-12
+
     stages = {"model": stage_model, "+decode": stage_decode,
               "+pre": stage_pre, "+nms": stage_full,
-              "+nms(lazy)": stage_full_lazy}
+              "+nms(lazy)": stage_full_lazy,
+              "+nms(parts)": stage_full_parts}
     row = {"batch": batch}
     for name, fn in stages.items():
         @partial(jax.jit, static_argnames=("n",))

@@ -1,0 +1,125 @@
+"""Decompose the e2e-train 650 ms/step (runs/e2e_train_bench.json r4):
+steps_per_dispatch=8 measured IDENTICAL throughput to 1, and the host loader
+produces superbatches in <10 ms — so the cost is on-device. This times, on
+the real chip with the in-graph scan methodology:
+
+  step_noaug   : K-step scan of the fused train step on a fixed device batch
+  step_aug     : same with the device augmentation pipeline in the scan body
+  aug_only     : K iterations of just the augmentation (mosaic/warp/hsv)
+  multi_fn_wall: wall-clock of the production multi_fn (pool gather + aug +
+                 step), per step — includes the single dispatch RTT
+
+Writes runs/e2e_diag.json.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+
+def main(imgsz=640, batch=16, K=8):
+    import jax
+    import jax.numpy as jnp
+
+    from tests.helpers import make_shape_dataset
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.data.build import build_dataloader, build_yolo_dataset
+    from yolo_contour_regression_tpu.data.device_augment import make_augment_fn
+    from yolo_contour_regression_tpu.data.utils import check_det_dataset
+    from yolo_contour_regression_tpu.engine.step import (
+        init_train_state,
+        make_multi_train_step,
+    )
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.utils.optim import build_optimizer
+
+    ds_dir = ROOT / "runs" / "e2e_train_ds"
+    yaml_path = make_shape_dataset(ds_dir, n_train=128, n_val=4, imgsz=1280, seed=0)
+    data = check_det_dataset(str(yaml_path))
+    cfg = get_cfg(dict(task="segment", imgsz=imgsz, batch=batch, cache="device",
+                       device_augment=True, max_instances=16, nbs=batch))
+    train_set = build_yolo_dataset(cfg, data["train"], batch, data, mode="train")
+    loader = build_dataloader(train_set, batch, workers=2, shuffle=True, mode="train")
+
+    model = build_model(
+        str(ROOT / "yolo_contour_regression_tpu/cfg/models/yolov8-seg.yaml"),
+        nc=2, dtype=jnp.bfloat16,
+    )
+    variables = model.init(imgsz=imgsz)
+    cfg.epochs, cfg.nc = 10, 2
+    tx = build_optimizer(variables["params"], cfg, steps_per_epoch=10, iterations=100)
+    aug_fn = make_augment_fn(cfg, imgsz, cfg.max_instances, mesh=None)
+
+    sup = loader.superbatches(K)
+    idxs, labels = next(sup)
+    pool = loader.images
+    rec = {"batch": batch, "imgsz": imgsz, "K": K,
+           "pool_shape": list(np.shape(pool))}
+
+    def timed_calls(fn, *args, n=3):
+        fn(*args)  # compile/warm
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r = fn(*args)
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, r)
+            # force a real sync through a host readback
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            float(np.asarray(leaf).reshape(-1)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # --- production multi_fn wall time -------------------------------------
+    multi_fn = make_multi_train_step(model, tx, cfg, cand=128,
+                                     augment_fn=aug_fn, donate=False)
+    state = init_train_state(variables, tx)
+    t = timed_calls(lambda: multi_fn(state, pool, idxs, labels))
+    rec["multi_fn_aug_ms_per_step"] = round(t / K * 1e3, 1)
+
+    # --- same without augmentation (pre-sized 640px images) -----------------
+    multi_fn_na = make_multi_train_step(model, tx, cfg, cand=128,
+                                        augment_fn=None, donate=False,
+                                        from_pool=False)
+    imgs_fixed = jax.image.resize(
+        jnp.take(pool, idxs.reshape(-1), axis=0).astype(jnp.float32),
+        (K * batch, imgsz, imgsz, 3), "bilinear",
+    ).astype(jnp.float32).reshape(K, batch, imgsz, imgsz, 3) / 255.0
+    try:
+        t = timed_calls(lambda: multi_fn_na(state, imgs_fixed, labels))
+        rec["multi_fn_noaug_ms_per_step"] = round(t / K * 1e3, 1)
+    except Exception as e:  # signature/shape contract differs — record why
+        rec["multi_fn_noaug_error"] = repr(e)[:200]
+
+    # --- augmentation alone, in-graph iterated ------------------------------
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def aug_loop(pool, idx, lab, n):
+        def body(i, acc):
+            imgs = jnp.take(pool, idx, axis=0)
+            out_imgs, _ = aug_fn(jax.random.fold_in(jax.random.PRNGKey(0), i), imgs, lab)
+            return acc + out_imgs.astype(jnp.float32).sum() * 1e-12
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    try:
+        one_idx, one_lab = idxs[0], {k: v[0] for k, v in labels.items()}
+        float(aug_loop(pool, one_idx, one_lab, 2))
+        t2 = time.perf_counter(); float(aug_loop(pool, one_idx, one_lab, 22)); t2 = time.perf_counter() - t2
+        t1 = time.perf_counter(); float(aug_loop(pool, one_idx, one_lab, 2)); t1 = time.perf_counter() - t1
+        rec["aug_only_ms_per_step"] = round((t2 - t1) / 20 * 1e3, 1)
+    except Exception as e:
+        rec["aug_only_error"] = repr(e)[:200]
+
+    (ROOT / "runs" / "e2e_diag.json").write_text(json.dumps(rec, indent=2))
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:4]]
+    main(*args)

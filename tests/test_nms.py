@@ -100,3 +100,73 @@ def test_fixpoint_nms_matches_sequential_greedy():
         got_scores = np.asarray(out["scores"])[np.asarray(out["valid"])]
         want_scores = np.sort(scores[want])[::-1]
         np.testing.assert_allclose(np.sort(got_scores)[::-1], want_scores, atol=1e-6)
+
+
+def test_parts_path_matches_reference_layout_pipeline():
+    """The deploy hot path (predict_parts -> non_max_suppression_parts ->
+    finalize_polar_extras) is numerically identical to the reference-layout
+    pipeline (predict -> non_max_suppression), which stays the export
+    contract. Covers boxes/scores/classes/valid AND the reconstructed 108
+    contour columns."""
+    import jax
+
+    from yolo_contour_regression_tpu.nn.modules.head import finalize_polar_extras
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.ops.nms import non_max_suppression_parts
+
+    m = build_model(
+        "yolo_contour_regression_tpu/cfg/models/yolov8-seg.yaml", nc=3
+    )
+    v = m.init(imgsz=64)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    )
+    kw = dict(conf_thres=0.001, iou_thres=0.7, pre_nms=64, max_det=10)
+
+    ref = non_max_suppression(m.predict(v, x), nc=m.nc, **kw)
+    boxes, scores, extras = m.predict_parts(v, x)
+    got = non_max_suppression_parts(boxes, scores, extras, **kw)
+
+    np.testing.assert_array_equal(np.asarray(ref["valid"]), np.asarray(got["valid"]))
+    np.testing.assert_array_equal(np.asarray(ref["classes"]), np.asarray(got["classes"]))
+    np.testing.assert_allclose(np.asarray(ref["scores"]), np.asarray(got["scores"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref["boxes"]), np.asarray(got["boxes"]), atol=1e-4)
+    fin = finalize_polar_extras(got["extras"])
+    fin = jnp.where(got["valid"][..., None], fin, 0)
+    np.testing.assert_allclose(np.asarray(ref["extras"]), np.asarray(fin), atol=1e-4)
+
+
+def test_parts_path_bf16_inputs():
+    """bf16 decode outputs flow through the parts NMS: candidates are
+    promoted to f32 before the class-offset IoU (a bf16 MAX_WH shift would
+    eat the coordinate mantissa), outputs are f32."""
+    from yolo_contour_regression_tpu.ops.nms import non_max_suppression_parts
+
+    rng = np.random.default_rng(1)
+    A = 128
+    centers = rng.uniform(40, 600, (1, A, 2)).astype(np.float32)
+    wh = rng.uniform(10, 80, (1, A, 2)).astype(np.float32)
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1)
+    scores = rng.uniform(0, 1, (1, A, 5)).astype(np.float32)
+    extras = rng.uniform(0, 1, (1, A, 7)).astype(np.float32)
+
+    f32 = non_max_suppression_parts(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(extras),
+        conf_thres=0.25, iou_thres=0.7, pre_nms=64, max_det=20,
+    )
+    b16 = non_max_suppression_parts(
+        jnp.asarray(boxes, jnp.bfloat16), jnp.asarray(scores, jnp.bfloat16),
+        jnp.asarray(extras, jnp.bfloat16),
+        conf_thres=0.25, iou_thres=0.7, pre_nms=64, max_det=20,
+    )
+    assert b16["boxes"].dtype == jnp.float32
+    assert b16["scores"].dtype == jnp.float32
+    # bf16 rounds near-tie scores, which reorders top_k and can flip which
+    # of two overlapping boxes suppresses the other — so compare survivor
+    # SETS: every bf16 survivor must match an f32 survivor within bf16 box
+    # resolution (or be one of a small tie-flip count)
+    assert abs(int(f32["valid"].sum()) - int(b16["valid"].sum())) <= 2
+    fb = np.asarray(f32["boxes"])[0][np.asarray(f32["valid"])[0]]
+    bb = np.asarray(b16["boxes"])[0][np.asarray(b16["valid"])[0]]
+    dist = np.abs(bb[:, None, :] - fb[None, :, :]).max(-1).min(-1)  # per-b16 nearest
+    assert (dist < 4.0).mean() > 0.85, dist

@@ -141,6 +141,36 @@ def decode_polar_lazy(
     return jnp.transpose(allpred, (0, 2, 1))
 
 
+def decode_polar_parts(
+    outs: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    nm: int = polar_ops.NUM_RAYS,
+):
+    """Hot-path polar decode: (boxes (B, A, 4), scores (B, A, nc),
+    extras (B, A, nm+2) [rays_px | anchor_px]) — unconcatenated, untransposed.
+
+    Feeds ``ops.nms.non_max_suppression_parts`` directly; contour points are
+    reconstructed for the max_det survivors by ``finalize_polar_extras``.
+    Numerically identical to decode_polar + NMS over the (B, 4+nc+108, A)
+    tensor, but skips the 108-column contour materialization, the concat and
+    the two (B, C, A) layout transposes — at batch 128 / A=8400 that is
+    ~750 MB of HBM traffic the reference layout spends per dispatch
+    (runs/bench_ablate.json r4). decode_polar remains the export contract.
+    """
+    feat_hw = [(o.shape[1], o.shape[2]) for o in outs]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=outs[0].dtype)
+    x = flatten_levels(outs)  # (B, A, nm+nc)
+    rays, cls = x[..., :nm], x[..., nm:]
+    rays_px = jnp.clip(rays * stride_t[None, :, :], polar_ops.RAY_EPS, None)
+    anchors_px = anchor_points * stride_t
+    boxes = polar_ops.decode_ray_boxes(rays_px, anchors_px)
+    scores = nn.sigmoid(cls)
+    anc = jnp.broadcast_to(anchors_px[None], (x.shape[0],) + anchors_px.shape)
+    extras = jnp.concatenate([rays_px, anc.astype(rays_px.dtype)], axis=-1)
+    return boxes, scores, extras
+
+
 def finalize_polar_extras(ex: jnp.ndarray, nm: int = polar_ops.NUM_RAYS):
     """Post-NMS half of the lazy decode: extras (..., 38) [rays_px |
     anchor_px] -> the standard 108 layout (..., 108) [36 x | 36 y | 36

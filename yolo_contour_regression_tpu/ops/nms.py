@@ -53,12 +53,16 @@ def batched_nms(
     k = min(pre_nms, A)
     gated = jnp.where(scores > conf_thres, scores, -1.0)
     top_scores, order = jax.lax.top_k(gated, k)  # (k,) descending
-    cand_boxes = boxes[order]
+    top_scores = top_scores.astype(jnp.float32)
+    # promote the k candidates to f32 here: bf16 inputs are fine upstream
+    # (full-tensor precision), but the MAX_WH class offset would eat the
+    # coordinate mantissa in bf16 and the IoU matrix needs full precision
+    cand_boxes = boxes[order].astype(jnp.float32)
     cand_cls = classes[order]
     cand_alive = top_scores > 0
 
     offset = jnp.where(
-        cand_alive, cand_cls.astype(boxes.dtype), -1.0
+        cand_alive, cand_cls.astype(jnp.float32), -1.0
     ) * (0.0 if agnostic else MAX_WH)
     shifted = cand_boxes + offset[:, None]
     iou = box_iou(shifted, shifted)  # (k, k)
@@ -101,7 +105,7 @@ def batched_nms(
     valid = out_scores > 0
     pick = order[sel]
     out = {
-        "boxes": jnp.where(valid[:, None], boxes[pick], 0),
+        "boxes": jnp.where(valid[:, None], boxes[pick].astype(jnp.float32), 0),
         "scores": jnp.where(valid, out_scores, 0),
         "classes": jnp.where(valid, classes[pick], -1),
         "extras": jnp.where(valid[:, None], extras[pick], 0),
@@ -146,10 +150,39 @@ def non_max_suppression(
     Returns dict of (B, max_det, ...) arrays + valid mask (B, max_det).
     """
     pred = jnp.transpose(prediction, (0, 2, 1))  # (B, A, C)
-    boxes = pred[..., :4]
-    cls_scores = pred[..., 4 : 4 + nc]
-    extras = pred[..., 4 + nc :]
+    return non_max_suppression_parts(
+        pred[..., :4], pred[..., 4 : 4 + nc], pred[..., 4 + nc :],
+        conf_thres=conf_thres, iou_thres=iou_thres, pre_nms=pre_nms,
+        max_det=max_det, agnostic=agnostic, multi_label=multi_label,
+    )
 
+
+@partial(
+    jax.jit,
+    static_argnames=("pre_nms", "max_det", "agnostic", "multi_label"),
+)
+def non_max_suppression_parts(
+    boxes: jnp.ndarray,
+    cls_scores: jnp.ndarray,
+    extras: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.7,
+    pre_nms: int = 1024,
+    max_det: int = 300,
+    agnostic: bool = False,
+    multi_label: bool = False,
+):
+    """NMS over unconcatenated (B, A, .) components — the hot deploy path.
+
+    ``non_max_suppression`` takes the reference's (B, 4+nc+E, A) tensor,
+    which forces the decode to concat + transpose ~250 MB at batch 128 only
+    for this function to immediately transpose and re-split it. Feeding
+    boxes (B, A, 4) / cls_scores (B, A, nc) / extras (B, A, E) directly
+    skips both giant HBM passes (runs/bench_ablate.json r4: decode+NMS were
+    40% of pipeline time). bf16 inputs are fine: candidate boxes are
+    promoted to f32 before the IoU matrix, outputs are f32.
+    """
+    nc = cls_scores.shape[-1]
     if multi_label and nc > 1:
         B, A = cls_scores.shape[:2]
         k = min(pre_nms, A * nc)
