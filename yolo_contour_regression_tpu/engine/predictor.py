@@ -132,7 +132,7 @@ class BasePredictor:
         nc = model.nc
         args = self.args
 
-        lazy = self.task == "segment" and hasattr(model, "predict_lazy")
+        parts = self.task == "segment" and hasattr(model, "predict_parts")
         tta = bool(getattr(args, "augment", False))
         if tta and not hasattr(model, "predict_augmented"):
             # reference parity: only DetectionModel supports TTA; other tasks
@@ -146,13 +146,26 @@ class BasePredictor:
 
         @jax.jit
         def eval_fn(variables, images):
+            nms_kw = dict(
+                conf_thres=args.conf, iou_thres=args.iou,
+                pre_nms=getattr(args, "pre_nms", 1024),
+                max_det=args.max_det, agnostic=args.agnostic_nms,
+            )
+            if not tta and parts:
+                # polar hot path: unconcatenated decode straight into
+                # parts-NMS (head.py decode_polar_parts), contour points
+                # reconstructed for survivors only — bit-identical to the
+                # reference-layout path (test_nms.py)
+                from ..nn.modules.head import finalize_polar_extras
+                from ..ops.nms import non_max_suppression_parts
+
+                boxes_p, scores_p, extras_p = model.predict_parts(variables, images)
+                out = non_max_suppression_parts(boxes_p, scores_p, extras_p, **nms_kw)
+                out["extras"] = finalize_polar_extras(out["extras"])
+                return out
             if tta:
                 # multi-scale + flip TTA (nn/tasks.py predict_augmented)
                 pred = model.predict_augmented(variables, images)
-            elif lazy:
-                # polar: defer contour-point decode past NMS (head.py
-                # decode_polar_lazy) — same outputs, 28x smaller points tensor
-                pred = model.predict_lazy(variables, images)
             else:
                 pred = model.predict(variables, images)
             # decode_detect emits xywh (polar decode emits xyxy directly)
@@ -161,16 +174,9 @@ class BasePredictor:
 
                 boxes = jnp.transpose(pred[:, :4], (0, 2, 1))
                 pred = pred.at[:, :4].set(jnp.transpose(xywh2xyxy(boxes), (0, 2, 1)))
-            out = non_max_suppression(
-                pred.astype(jnp.float32), nc=nc, conf_thres=args.conf,
-                iou_thres=args.iou, pre_nms=getattr(args, "pre_nms", 1024),
-                max_det=args.max_det, agnostic=args.agnostic_nms,
+            return non_max_suppression(
+                pred.astype(jnp.float32), nc=nc, **nms_kw
             )
-            if lazy:
-                from ..nn.modules.head import finalize_polar_extras
-
-                out["extras"] = finalize_polar_extras(out["extras"])
-            return out
 
         return eval_fn
 

@@ -268,12 +268,14 @@ class SegmentationValidator(BaseValidator):
 
         def eval_fn(variables, images, gt_bboxes, gt_segments, mask_gt, ori_shape, ratio_pad):
             # unjitted core — _wrap_eval_core jits it single and scanned.
-            # lazy polar decode: carry [rays|anchor] through NMS, reconstruct
-            # contour points for survivors only (head.py decode_polar_lazy)
-            pred = model.predict_lazy(variables, images)  # (B, 4+nc+38, A)
-            out = non_max_suppression(
-                pred.astype(jnp.float32),
-                nc=nc,
+            # parts-layout polar decode (head.py decode_polar_parts): no
+            # (B, C, A) concat/transpose round-trip, [rays|anchor] carried
+            # through NMS, contour points reconstructed for survivors only
+            from ..ops.nms import non_max_suppression_parts
+
+            boxes_p, scores_p, extras_p = model.predict_parts(variables, images)
+            out = non_max_suppression_parts(
+                boxes_p, scores_p, extras_p,
                 conf_thres=self.args.conf,
                 iou_thres=self.args.iou,
                 pre_nms=getattr(self.args, "pre_nms", 4096),
