@@ -365,6 +365,58 @@ def _sam_map_key(key: str, arr: np.ndarray):
     raise KeyError(key)
 
 
+def _sam_map_key_tiny(key: str, arr: np.ndarray):
+    """MobileSAM TinyViT encoder tensor name (tiny_encoder.py state dict) ->
+    (collection, flax path, array), or None to skip (classifier head,
+    num_batches_tracked). Raises KeyError for non-TinyViT names so the
+    caller falls through to the ViT mapper (neck keys are shared)."""
+    toks = key.split(".")
+    if toks[0] != "image_encoder":
+        raise KeyError(key)
+    rest = toks[1:]
+    if rest[0] in ("norm_head", "head"):
+        return None  # ImageNet classifier head — absent from the SAM graph
+    if rest[-1] == "num_batches_tracked":
+        return None
+
+    def convbn(base, mod, cb, leaf):
+        if cb == "c" and leaf == "weight":
+            return "params", base + (mod, "c", "kernel"), arr.transpose(2, 3, 1, 0)
+        if cb == "bn":
+            coll, l = {
+                "weight": ("params", "scale"), "bias": ("params", "bias"),
+                "running_mean": ("batch_stats", "mean"),
+                "running_var": ("batch_stats", "var"),
+            }[leaf]
+            return coll, base + (mod, "bn", l), arr
+        raise KeyError(key)
+
+    if rest[0] == "patch_embed" and rest[1] == "seq":
+        return convbn(("patch_embed",), f"seq{rest[2]}", rest[3], rest[4])
+    if rest[0] == "layers":
+        base = (f"layer{rest[1]}",)
+        sub = rest[2:]
+        if sub[0] == "blocks":
+            base = base + (f"block{sub[1]}",)
+            inner, leaf = sub[2:-1], sub[-1]
+            if inner and inner[0] in ("conv1", "conv2", "conv3", "local_conv"):
+                return convbn(base, inner[0], inner[1], leaf)
+            if inner == ["attn", "norm"]:
+                return ("params",) + _sam_ln(base + ("attn", "norm"), leaf, arr)
+            if inner == ["attn"] and leaf == "attention_biases":
+                return "params", base + ("attn", "attention_biases"), arr
+            if inner and inner[0] == "attn" and inner[1] in ("qkv", "proj"):
+                return ("params",) + _sam_dense(base + ("attn", inner[1]), leaf, arr)
+            if inner == ["mlp", "norm"]:
+                return ("params",) + _sam_ln(base + ("mlp_norm",), leaf, arr)
+            if inner and inner[0] == "mlp" and inner[1] in ("fc1", "fc2"):
+                return ("params",) + _sam_dense(base + (f"mlp_{inner[1]}",), leaf, arr)
+            raise KeyError(key)
+        if sub[0] == "downsample":
+            return convbn(base + ("downsample",), sub[1], sub[2], sub[3])
+    raise KeyError(key)
+
+
 def convert_sam_state_dict(
     state: Dict[str, np.ndarray],
     variables: Dict[str, Any],
@@ -386,11 +438,19 @@ def convert_sam_state_dict(
             skipped.append(key)
             continue
         try:
-            sec, path, new_arr = _sam_map_key(key, np.asarray(arr))
+            mapped = _sam_map_key_tiny(key, np.asarray(arr))
+            if mapped is None:
+                skipped.append(key)
+                continue
+            sec, (coll, path, new_arr) = "encoder", mapped
         except KeyError:
-            missed.append(f"{key} (unrecognized)")
-            continue
-        full = ("params",) + path
+            try:
+                sec, path, new_arr = _sam_map_key(key, np.asarray(arr))
+                coll = "params"
+            except KeyError:
+                missed.append(f"{key} (unrecognized)")
+                continue
+        full = (coll,) + path
         tgt = _get(new_vars[sec], full)
         # works on real arrays AND jax.ShapeDtypeStruct trees (eval_shape)
         tgt_shape = getattr(tgt, "shape", None) if tgt is not None else None
