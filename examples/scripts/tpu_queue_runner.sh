@@ -41,26 +41,33 @@ run_job() {
 
 say "=== queue start ==="
 
-# 1) headline bench @128 (full decode — ablation r4 showed it beats lazy)
+# 1) ablation with the r4 parts-pipeline stage (decides the headline config)
+run_job runs/bench_ablate_parts.json 2700 \
+  bash -c 'python examples/scripts/bench_ablate.py 128 256 && cp runs/bench_ablate.json runs/bench_ablate_parts.json'
+
+# 2) headline bench @128, parts pipeline (bench.py default)
 run_job runs/bench_headline_r4.json 900 \
   bash -c 'BENCH_BATCH=128 python bench.py | tail -1 > runs/bench_headline_r4.json'
 
-# 2) int8 variant @128 — MFU vs the 394-TOPS int8 peak
-run_job runs/bench_int8.json 1200 \
-  bash -c 'BENCH_INT8=1 BENCH_BATCH=128 python bench.py | tail -1 > runs/bench_int8.json'
+# 3) int8 variant @128 on the parts pipeline — MFU vs the 394-TOPS int8 peak
+run_job runs/bench_int8_r4.json 1200 \
+  bash -c 'BENCH_INT8=1 BENCH_BATCH=128 python bench.py | tail -1 > runs/bench_int8_r4.json'
 
-# 3) e2e training throughput incl. steps_per_dispatch rows
+# 4) decompose the 650 ms/step e2e-train cost (PERF_NOTES r4 finding)
+run_job runs/e2e_diag.json 3600 python examples/scripts/diag_e2e_train.py
+
+# 5) e2e training throughput incl. steps_per_dispatch rows
 run_job runs/e2e_train_bench.json 3600 python examples/scripts/bench_e2e_train.py
 
-# 4) serving-engine load curve
+# 6) serving-engine load curve
 run_job runs/serve_bench.json 3600 python examples/scripts/bench_serve.py yolov8n-seg.yaml 640 10
 
-# 5) scale ladder n/s/m/l/x (rewrites bench_scales.json with the l/x rows)
+# 7) RT-DETR quality floor
+run_job runs/floor_rtdetr/floor.json 9000 \
+  python examples/scripts/train_floor.py rtdetr 300 96 64
+
+# 8) scale ladder n/s/m/l/x (rewrites bench_scales.json with the l/x rows)
 run_job runs/bench_scales_r4.json 5400 \
   bash -c 'python examples/scripts/bench_scales.py && cp runs/bench_scales.json runs/bench_scales_r4.json'
-
-# 6) RT-DETR quality floor (longest — last so cheaper evidence lands first)
-run_job runs/floor_rtdetr/floor.json 7200 \
-  python examples/scripts/train_floor.py rtdetr 300 96 64
 
 say "=== queue done ==="
