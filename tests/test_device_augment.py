@@ -214,3 +214,32 @@ def test_sharded_augment_matches_shapes():
     assert imgs.shape == (B, S, S, 3)
     assert bool(jnp.isfinite(imgs).all())
     assert out["mask_gt"].shape == (B, 8)
+
+
+def test_separable_warp_matches_gather_warp():
+    """The matmul-based fast warp (axis-aligned affines, the default hyp)
+    is numerically identical to the gather warp across scales/translations,
+    mosaic and plain, including the gray-border blend ring (1px PAD ring +
+    coverage algebra)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.data import device_augment as da
+
+    S = 32
+    tiles = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, S, S, 3), dtype=np.uint8)
+    )
+    for trial in range(6):
+        r = np.random.default_rng(trial)
+        a = float(r.uniform(0.5, 1.5))
+        bx, by = (float(v) for v in r.uniform(-12, 12, 2))
+        M = jnp.asarray([[a, 0, bx], [0, a, by], [0, 0, 1.0]], jnp.float32)
+        um = jnp.asarray(trial % 2 == 0)
+        yc = jnp.asarray(float(r.uniform(0.5 * S, 1.5 * S)))
+        xc = jnp.asarray(float(r.uniform(0.5 * S, 1.5 * S)))
+        offs = jnp.asarray(r.uniform(-S / 2, S, (4, 2)).astype(np.float32))
+        offs = jnp.where(um, offs, jnp.zeros_like(offs))
+        g = np.asarray(da._warp_image(tiles, jnp.linalg.inv(M), yc, xc, offs, um, S))
+        f = np.asarray(da._warp_image_separable(tiles, M, yc, xc, offs, um, S))
+        np.testing.assert_allclose(f, g, atol=5e-3), trial

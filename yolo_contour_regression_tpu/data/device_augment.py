@@ -107,6 +107,72 @@ def _tile_offsets(yc, xc, content_hw, pads, S):
     return jnp.stack([oy, ox], -1)
 
 
+def _warp_image_separable(tiles, M, yc, xc, offsets, use_mosaic, S):
+    """Fast path of ``_warp_image`` for axis-aligned affines (the DEFAULT
+    hyp: degrees=shear=perspective=0, so M is diag(a, a) + translation).
+
+    The gather version costs 4 bilinear taps x S^2 random-index gathers per
+    image — the single worst op class on TPU (runs/e2e_diag.json). With a
+    separable transform each tile's resample is two dense (S_in, S_out)
+    weight matmuls (jax.image.scale_and_translate), pure MXU work, and the
+    mosaic quadrant choice is an elementwise select of the 4 resampled
+    planes. Border semantics match the gather version exactly: bilinear
+    coverage c of in-tile taps is resampled from a ones-plane and the gray
+    border folds in as ``st(tile) + PAD * (1 - c)``; out-of-canvas pixels
+    are PAD. Equivalence is pinned by test_device_augment.
+    """
+    a = M[0, 0]  # == M[1, 1] on this path
+    bx, by = M[0, 2], M[1, 2]
+    L = jnp.where(use_mosaic, 2.0 * S, 1.0 * S)
+    o = jnp.arange(S, dtype=jnp.float32)
+    cx = (o - bx) / a  # canvas coord of each output column / row
+    cy = (o - by) / a
+    in_x = (cx >= 0) & (cx < L)
+    in_y = (cy >= 0) & (cy < L)
+    qx = (cx >= xc) & use_mosaic  # right half
+    qy = (cy >= yc) & use_mosaic  # bottom half
+    q = qy[:, None].astype(jnp.int32) * 2 + qx[None, :].astype(jnp.int32)
+
+    scale = jnp.stack([a, a])
+    # 1px PAD ring: scale_and_translate zeroes any output whose sample
+    # center is outside [-0.5, S-0.5], but the gather version still blends
+    # partial edge taps in the [-1, -0.5) ring — materializing the border
+    # pixel makes the resample exact there (the coverage term below handles
+    # everything further out)
+    tiles_p = jnp.pad(
+        tiles.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)),
+        constant_values=PAD_VALUE,
+    )
+    # coverage over the PADDED extent (the ring is materialized, so it
+    # counts as covered; only weight falling beyond S+2 turns into PAD)
+    ones_p = jnp.ones((S + 2, S + 2, 1), jnp.float32)
+    planes = []
+    for t in range(4):
+        # output o samples tile coord s = (o - b)/a - off, while
+        # scale_and_translate samples i = (o + 0.5)/scale - 0.5 - t/scale
+        # (half-pixel-center convention, probed empirically) — equate, then
+        # shift by one source pixel for the PAD ring: t = b + a*(off - 1)
+        # + 0.5*(1 - a)
+        half = 0.5 * (1.0 - a)
+        tr = jnp.stack([by + a * (offsets[t, 0] - 1.0) + half,
+                        bx + a * (offsets[t, 1] - 1.0) + half])
+        st = jax.image.scale_and_translate(
+            tiles_p[t], (S, S, 3), (0, 1), scale, tr,
+            method="linear", antialias=False,
+        )
+        cov = jax.image.scale_and_translate(
+            ones_p, (S, S, 1), (0, 1), scale, tr,
+            method="linear", antialias=False,
+        )
+        planes.append(st + PAD_VALUE * (1.0 - cov))
+    stacked = jnp.stack(planes)  # (4, S, S, 3)
+    out = jnp.where((q == 0)[..., None], stacked[0],
+          jnp.where((q == 1)[..., None], stacked[1],
+          jnp.where((q == 2)[..., None], stacked[2], stacked[3])))
+    ok = (in_y[:, None] & in_x[None, :])[..., None]
+    return jnp.where(ok, out, PAD_VALUE)
+
+
 def _warp_image(tiles, Minv, yc, xc, offsets, use_mosaic, S):
     """Fused mosaic+affine gather. tiles (4, S, S, 3) uint8 -> (S, S, 3) f32.
 
@@ -192,11 +258,19 @@ def _augment_one(key, tiles, t_cls, t_boxes, t_segs, t_mask, t_kpts,
 
     in_size = jnp.where(use_mosaic, 2.0 * S, 1.0 * S)
     M, _sc = _affine_matrix_dyn(k_aff, S, in_size, hyp)
-    Minv = jnp.linalg.inv(M)
 
     offs = _tile_offsets(yc, xc, content_hw.astype(jnp.float32), pads.astype(jnp.float32), S)
     offs = jnp.where(use_mosaic, offs, jnp.zeros_like(offs))
-    img = _warp_image(tiles, Minv, yc, xc, offs, use_mosaic, S)
+    # axis-aligned affine (default hyp) -> separable matmul resample instead
+    # of per-pixel gathers (see _warp_image_separable)
+    separable = all(
+        float(getattr(hyp, k, 0.0) or 0.0) == 0.0
+        for k in ("degrees", "shear", "perspective")
+    )
+    if separable:
+        img = _warp_image_separable(tiles, M, yc, xc, offs, use_mosaic, S)
+    else:
+        img = _warp_image(tiles, jnp.linalg.inv(M), yc, xc, offs, use_mosaic, S)
 
     # ---- labels: tile frame -> canvas -> output --------------------------
     N = t_cls.shape[1]
