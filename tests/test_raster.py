@@ -67,3 +67,53 @@ def test_fill_polygons_batch():
     m = np.asarray(fill_polygons(pts, valid, 8, 8))
     assert m.shape == (2, 8, 8)
     assert m[0].sum() > m[1].sum() > 0
+
+
+def test_host_rasterizer_matches_device():
+    """contours_to_masks_host (the lazy Results.masks backend) matches
+    fill_polygons up to sub-pixel boundary differences, including invalid
+    vertices and empty instances."""
+    from yolo_contour_regression_tpu.engine.results import contours_to_masks_host
+
+    rng = np.random.default_rng(3)
+    H = W = 96
+    t = np.linspace(0, 2 * np.pi, 36, endpoint=False)
+    pts, valid = [], []
+    for i in range(4):
+        # smooth star contours (real polar outputs are locally smooth)
+        r = 28 + 10 * np.sin(3 * t + i) + rng.uniform(-2, 2, 36)
+        pts.append(np.stack([48 + r * np.cos(t), 48 + r * np.sin(t)], -1))
+        v = np.ones(36, bool)
+        if i == 1:
+            v[::3] = False           # invalid rays collapse/drop
+        if i == 3:
+            v[:] = False             # fully invalid -> empty mask
+        valid.append(v)
+    pts = np.asarray(pts, np.float32)
+    valid = np.asarray(valid)
+    want = np.asarray(fill_polygons(jnp.asarray(pts), jnp.asarray(valid), H, W))
+    got = contours_to_masks_host(pts, valid, H, W)
+    assert got.shape == want.shape == (4, H, W)
+    assert not got[3].any() and not want[3].any()
+    for i in range(3):
+        inter = (got[i] & want[i]).sum()
+        union = (got[i] | want[i]).sum()
+        assert inter / union > 0.9, i  # sub-pixel boundary differences only
+
+
+def test_results_lazy_masks():
+    from yolo_contour_regression_tpu.engine.results import Results
+
+    t = np.linspace(0, 2 * np.pi, 36, endpoint=False)
+    pts = np.stack([16 + 8 * np.cos(t), 16 + 8 * np.sin(t)], -1)[None].astype(np.float32)
+    valid = np.ones((1, 36), bool)
+    img = np.zeros((32, 32, 3), np.uint8)
+    r = Results(img, "x", {0: "a"}, boxes=np.array([[8, 8, 24, 24, 0.9, 0]]),
+                contours=(pts, valid), lazy_masks=True)
+    assert r._masks is None                      # nothing materialized yet
+    assert "masks" in r.keys and r._masks is None  # keys must not force it
+    sliced = r[0]
+    assert sliced._masks is None                 # slicing must not force it
+    m = r.masks.data                             # first read rasterizes
+    assert m.shape == (1, 32, 32) and m[0, 16, 16] and not m[0, 1, 1]
+    assert sliced.masks.data.shape == (1, 32, 32)  # lazy flag propagated

@@ -114,6 +114,15 @@ def _is_live_spec(s) -> bool:
     return p.isdigit() or p.startswith(("rtsp://", "rtmp://", "http://", "https://"))
 
 
+def _as_float(images):
+    """uint8 -> [0,1] f32 in-graph. All eval programs accept uint8 batches:
+    the host ships 1 byte/px over the (possibly tunneled) link and XLA fuses
+    the normalize into the first conv — 4x less H2D than the f32 path."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 class BasePredictor:
     task = "detect"
 
@@ -127,6 +136,12 @@ class BasePredictor:
         lb, gain, pad = letterbox(img, (imgsz, imgsz), scaleup=True)
         x = cv2.cvtColor(lb, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         return x, gain, pad
+
+    def preprocess_u8(self, img: np.ndarray, imgsz: int):
+        """Like ``preprocess`` but keeps uint8 — normalization happens on
+        device (``_as_float``), so H2D ships a quarter of the bytes."""
+        lb, gain, pad = letterbox(img, (imgsz, imgsz), scaleup=True)
+        return cv2.cvtColor(lb, cv2.COLOR_BGR2RGB), gain, pad
 
     def _build_eval(self, model):
         nc = model.nc
@@ -146,6 +161,7 @@ class BasePredictor:
 
         @jax.jit
         def eval_fn(variables, images):
+            images = _as_float(images)
             nms_kw = dict(
                 conf_thres=args.conf, iou_thres=args.iou,
                 pre_nms=getattr(args, "pre_nms", 1024),
@@ -202,7 +218,10 @@ class BasePredictor:
 
         stem = Path(path).stem if isinstance(path, str) else "frame"
         vdir = Path(self.args.project or "runs") / "predict" / "features" / stem
-        feats = model.forward_features(variables, jnp.asarray(x)[None])
+        x = jnp.asarray(x)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        feats = model.forward_features(variables, x[None])
         for name, fm in feats.items():
             feature_visualization(np.asarray(fm, np.float32), name, save_dir=vdir)
 
@@ -232,7 +251,7 @@ class BasePredictor:
         imgsz = self.args.imgsz
         for path, orig in iter_source(source):
             t0 = time.perf_counter()
-            x, gain, pad = self.preprocess(orig, imgsz)
+            x, gain, pad = self.preprocess_u8(orig, imgsz)
             t1 = time.perf_counter()
             out = self._eval_fn(variables, jnp.asarray(x)[None])
             out = {k: np.asarray(v) for k, v in out.items()}
@@ -279,7 +298,7 @@ class BasePredictor:
                 t0 = time.perf_counter()
                 xs, gains, pads = [], [], []
                 for f in frames:
-                    x, gain, pad = self.preprocess(f, imgsz)
+                    x, gain, pad = self.preprocess_u8(f, imgsz)
                     xs.append(x)
                     gains.append(gain)
                     pads.append(pad)
@@ -323,17 +342,13 @@ class SegmentationPredictor(BasePredictor):
         data = np.concatenate(
             [boxes, out["scores"][bi][keep][:, None], out["classes"][bi][keep][:, None]], -1
         )
-        masks = None
-        if self.args.retina_masks or self.args.boxes:
-            # rasterize contours in original-image space on demand
-            from ..ops.raster import fill_polygons
-
-            if pts.shape[0]:
-                masks = np.asarray(
-                    fill_polygons(jnp.asarray(pts), jnp.asarray(valid_rays), h, w)
-                )
+        # masks are LAZY: rasterized on the host the first time .masks is
+        # read (results.contours_to_masks_host). The old eager device
+        # rasterize was one extra dispatch PER REQUEST — on a tunneled TPU a
+        # full link round-trip each, which dominated serving latency.
         return Results(
-            orig, path, names, boxes=data, masks=masks, contours=(pts, valid_rays)
+            orig, path, names, boxes=data, contours=(pts, valid_rays),
+            lazy_masks=bool(self.args.retina_masks or self.args.boxes),
         )
 
 
@@ -343,7 +358,7 @@ class ClassificationPredictor(BasePredictor):
     def _build_eval(self, model):
         @jax.jit
         def eval_fn(variables, images):
-            return model.predict(variables, images)
+            return model.predict(variables, _as_float(images))
 
         return eval_fn
 
@@ -351,6 +366,11 @@ class ClassificationPredictor(BasePredictor):
         from ..data.augment import classify_transform_eval
 
         return classify_transform_eval(img, imgsz), 1.0, (0.0, 0.0)
+
+    def preprocess_u8(self, img, imgsz):
+        # classify's eval transform normalizes on host; no u8 fast path
+        # (a letterboxed u8 batch would skip the center-crop semantics)
+        return self.preprocess(img, imgsz)
 
     def _stream(self, model, variables, source, names):
         if self._eval_fn is None:
@@ -377,7 +397,7 @@ class SegmentationOriPredictor(BasePredictor):
         def eval_fn(variables, images):
             from ..ops.boxes import xywh2xyxy
 
-            pred, proto = model.predict(variables, images)
+            pred, proto = model.predict(variables, _as_float(images))
             boxes = jnp.transpose(pred[:, :4], (0, 2, 1))
             pred = pred.at[:, :4].set(jnp.transpose(xywh2xyxy(boxes), (0, 2, 1)))
             out = non_max_suppression(

@@ -112,8 +112,42 @@ class Probs:
         return float(self.data.max())
 
 
+def contours_to_masks_host(points: np.ndarray, valid: np.ndarray, height: int, width: int):
+    """Host-side polygon fill: (n, V, 2) px contours + validity -> (n, H, W)
+    bool masks. Semantics match ``ops.raster.fill_polygons`` (invalid
+    vertices collapse onto the previous valid one == dropping them), via
+    cv2.fillPoly with 3-bit fixed-point subpixel vertices. Exists so lazy
+    ``Results.masks`` costs ~1 ms on the host instead of a device dispatch
+    per request — on tunneled-TPU deployments one extra dispatch is a full
+    link round-trip, which dominated the serving engine's latency
+    (runs/serve_bench.json r4 first measure)."""
+    n = points.shape[0]
+    out = np.zeros((n, height, width), bool)
+    try:
+        import cv2
+    except ImportError:  # parity fallback: the device rasterizer
+        import jax.numpy as jnp
+
+        from ..ops.raster import fill_polygons
+
+        return np.asarray(fill_polygons(jnp.asarray(points), jnp.asarray(valid), height, width))
+    shift = 3
+    for i in range(n):
+        pts = points[i][valid[i].astype(bool)]
+        if pts.shape[0] >= 3:
+            buf = np.zeros((height, width), np.uint8)
+            cv2.fillPoly(buf, [np.round(pts * (1 << shift)).astype(np.int32)], 1, shift=shift)
+            out[i] = buf.astype(bool)
+    return out
+
+
 class Results:
-    """One image's results: boxes / masks / contours / probs + plotting."""
+    """One image's results: boxes / masks / contours / probs + plotting.
+
+    ``lazy_masks=True`` (the polar predictor default) defers contour
+    rasterization until ``.masks`` is first read: the polar head's native
+    output is the 36-ray contour, and most consumers (plotting, save_txt,
+    tracking) never need the bitmap."""
 
     def __init__(
         self,
@@ -126,22 +160,41 @@ class Results:
         probs: Optional[np.ndarray] = None,
         keypoints: Optional[np.ndarray] = None,
         speed: Optional[Dict[str, float]] = None,
+        lazy_masks: bool = False,
     ):
         self.orig_img = orig_img
         self.orig_shape = orig_img.shape[:2]
         self.path = path
         self.names = names
         self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
-        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self._masks = Masks(masks, self.orig_shape) if masks is not None else None
         self.contours = (
             Contours(contours[0], contours[1], self.orig_shape) if contours is not None else None
         )
+        self._lazy_masks = bool(lazy_masks)
         self.probs = Probs(probs) if probs is not None else None
         self.keypoints = keypoints
         self.speed = speed or {}
 
+    @property
+    def masks(self) -> Optional[Masks]:
+        if self._masks is None and self._lazy_masks and self.contours is not None:
+            self._masks = Masks(
+                contours_to_masks_host(
+                    self.contours.points, self.contours.valid, *self.orig_shape
+                ),
+                self.orig_shape,
+            )
+        return self._masks
+
+    @masks.setter
+    def masks(self, value):
+        if value is not None and not isinstance(value, Masks):
+            value = Masks(value, self.orig_shape)
+        self._masks = value
+
     def __len__(self):
-        for v in (self.boxes, self.masks, self.contours):
+        for v in (self.boxes, self._masks, self.contours):
             if v is not None:
                 return len(v)
         return 0
@@ -163,9 +216,14 @@ class Results:
 
     @property
     def keys(self):
+        # masks count as present when lazily derivable, without forcing the
+        # rasterization
+        have_masks = self._masks is not None or (
+            self._lazy_masks and self.contours is not None
+        )
         return [
             k for k in ("boxes", "masks", "contours", "probs", "keypoints")
-            if getattr(self, k) is not None
+            if (have_masks if k == "masks" else getattr(self, k) is not None)
         ]
 
     def __getitem__(self, idx):
@@ -185,8 +243,9 @@ class Results:
         if self.boxes is not None:
             r.boxes = Boxes(self.boxes.data[idx].reshape(-1, self.boxes.data.shape[-1]),
                             self.orig_shape)
-        if self.masks is not None:
-            r.masks = Masks(_keepdim(self.masks.data), self.orig_shape)
+        r._lazy_masks = self._lazy_masks  # slicing must not force rasterization
+        if self._masks is not None:
+            r.masks = Masks(_keepdim(self._masks.data), self.orig_shape)
         if self.contours is not None:
             r.contours = Contours(
                 _keepdim(self.contours.points), _keepdim(self.contours.valid),

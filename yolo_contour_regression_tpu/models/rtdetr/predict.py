@@ -14,9 +14,11 @@ class RTDETRPredictor(BasePredictor):
     task = "rtdetr"
 
     def _build_eval(self, model):
+        from ...engine.predictor import _as_float
+
         @jax.jit
         def eval_fn(variables, images):
-            return model.predict(variables, images)  # (B, nq, 4+nc)
+            return model.predict(variables, _as_float(images))  # (B, nq, 4+nc)
 
         return eval_fn
 
@@ -46,7 +48,7 @@ class RTDETRPredictor(BasePredictor):
             self._eval_fn = self._build_eval(model)
         for path, orig in iter_source(source):
             t0 = time.perf_counter()
-            x, gain, pad = self.preprocess(orig, self.args.imgsz)
+            x, gain, pad = self.preprocess_u8(orig, self.args.imgsz)
             pred = self._eval_fn(variables, jnp.asarray(x)[None])
             res = self.postprocess(pred, 0, orig, path, gain, pad, names)
             res.speed = {"total": (time.perf_counter() - t0) * 1e3}

@@ -202,10 +202,15 @@ class InferenceServer:
 
     def warmup(self, buckets: Optional[Sequence[int]] = None):
         """Pre-compile the eval graph for each bucket (first trace of the
-        full model+NMS takes 20-40s on a tunneled TPU; do it before traffic)."""
+        full model+NMS takes 20-40s on a tunneled TPU; do it before traffic).
+        Warms the exact per-request input dtype (uint8 for letterboxed
+        tasks, f32 for classify) — executables are keyed on dtype too."""
+        pre = getattr(self._predictor, "preprocess_u8", self._predictor.preprocess)
+        x0, _, _ = pre(np.zeros((32, 32, 3), np.uint8), self.imgsz)
+        dtype = np.asarray(x0).dtype
         for b in buckets or self.buckets:
             t0 = time.perf_counter()
-            x = self._place_input(np.zeros((b, self.imgsz, self.imgsz, 3), np.float32))
+            x = self._place_input(np.zeros((b,) + np.asarray(x0).shape, dtype))
             out = self._eval_fn(self.variables, x)
             # block on a leaf so compile+execute both finish
             leaf = out["scores"] if isinstance(out, dict) else out
@@ -298,34 +303,73 @@ class InferenceServer:
         return batch
 
     def _dispatch_loop(self):
-        while True:
-            batch = self._take_batch()
-            if batch is None or (not batch and self._closing.is_set()):
-                return
-            if not batch:
-                continue
-            try:
-                # per-request preprocess isolation: one malformed image must
-                # fail only its own future, not everyone coalesced with it
-                xs, gains, pads, ok = [], [], [], []
-                for req in batch:
-                    try:
-                        x, gain, pad = self._predictor.preprocess(req.image, self.imgsz)
-                    except Exception as e:
-                        req.future.set_exception(e)
-                        continue
-                    xs.append(x)
-                    gains.append(gain)
-                    pads.append(pad)
-                    ok.append(req)
-                batch = ok
+        """Form + preprocess + DISPATCH batches only. JAX execution is
+        async, so handing the un-synced device output to a completion thread
+        pipelines the device/link with host post-work: batch N+1's
+        preprocess+upload overlaps batch N's execute+readback+postprocess.
+        The bounded hand-off queue (2 in-flight batches) is the
+        backpressure that keeps latency from growing without bound."""
+        done_q: queue.Queue = queue.Queue(maxsize=2)
+        comp = threading.Thread(
+            target=self._completion_loop, args=(done_q,), daemon=True,
+            name="serve-complete",
+        )
+        comp.start()
+        pre = getattr(self._predictor, "preprocess_u8", self._predictor.preprocess)
+        try:
+            while True:
+                batch = self._take_batch()
+                if batch is None or (not batch and self._closing.is_set()):
+                    return
                 if not batch:
                     continue
-                n = len(batch)
-                bucket = next(b for b in self.buckets if b >= n)
-                stacked = np.zeros((bucket,) + xs[0].shape, np.float32)
-                stacked[:n] = np.stack(xs)
-                out = self._eval_fn(self.variables, self._place_input(stacked))
+                try:
+                    # per-request preprocess isolation: one malformed image
+                    # must fail only its own future, not everyone coalesced
+                    # with it
+                    xs, gains, pads, ok = [], [], [], []
+                    for req in batch:
+                        try:
+                            x, gain, pad = pre(req.image, self.imgsz)
+                        except Exception as e:
+                            req.future.set_exception(e)
+                            continue
+                        xs.append(x)
+                        gains.append(gain)
+                        pads.append(pad)
+                        ok.append(req)
+                    batch = ok
+                    if not batch:
+                        continue
+                    n = len(batch)
+                    bucket = next(b for b in self.buckets if b >= n)
+                    # uint8 end-to-end (detect/segment/pose/rtdetr): 1 B/px
+                    # over the link, normalize fused into the first conv
+                    stacked = np.zeros((bucket,) + xs[0].shape, np.asarray(xs[0]).dtype)
+                    stacked[:n] = np.stack(xs)
+                    out = self._eval_fn(self.variables, self._place_input(stacked))
+                    done_q.put((out, batch, gains, pads, bucket))
+                except Exception as e:
+                    # device/trace failure: fail THIS batch's futures and
+                    # keep serving — a transient error must not brick the
+                    # server (surfaced in stats()['last_error'])
+                    for req in batch:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+                    self._last_error = f"{type(e).__name__}: {e}"
+                    LOGGER.error(f"serve: batch failed: {self._last_error}")
+        finally:
+            done_q.put(None)  # drain: queued batches complete before join
+            comp.join()
+
+    def _completion_loop(self, done_q: queue.Queue):
+        """Blocks on device readback, then per-request postprocess."""
+        while True:
+            item = done_q.get()
+            if item is None:
+                return
+            out, batch, gains, pads, bucket = item
+            try:
                 if isinstance(out, dict):
                     out = {k: np.asarray(v) for k, v in out.items()}
                 else:
@@ -350,15 +394,12 @@ class InferenceServer:
                         lats.append(now - req.t_submit)
                     except Exception as e:  # one bad postprocess must not sink the batch
                         req.future.set_exception(e)
-                self._stats.record_batch(n, bucket, lats)
+                self._stats.record_batch(len(batch), bucket, lats)
             except Exception as e:
-                # device/trace failure: fail THIS batch's futures and keep
-                # serving — a transient error must not brick the server
-                # (surfaced in stats()['last_error'] for observability)
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
                 self._last_error = f"{type(e).__name__}: {e}"
-                LOGGER.error(f"serve: batch failed: {self._last_error}")
+                LOGGER.error(f"serve: batch readback failed: {self._last_error}")
             else:
                 self._last_error = None
