@@ -116,7 +116,10 @@ def main(imgsz=640, batch=16, K=8):
     except Exception as e:
         rec["aug_only_error"] = repr(e)[:200]
 
-    (ROOT / "runs" / "e2e_diag.json").write_text(json.dumps(rec, indent=2))
+    import os
+
+    out = os.environ.get("E2E_DIAG_OUT", "e2e_diag.json")
+    (ROOT / "runs" / out).write_text(json.dumps(rec, indent=2))
     print(json.dumps(rec))
 
 
