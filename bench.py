@@ -105,8 +105,10 @@ def measure(batch: int) -> dict:
         # suppression matrix shrink is worth ~5% pipeline throughput vs 512
         kw = dict(conf_thres=0.25, iou_thres=0.7, pre_nms=300, max_det=300)
         if pipe == "parts":
-            boxes, scores, extras = model.predict_parts(variables, x)
-            out = non_max_suppression_parts(boxes, scores, extras, **kw)
+            boxes, logits, extras = model.predict_parts(variables, x, sigmoid=False)
+            out = non_max_suppression_parts(
+                boxes, logits, extras, scores_are_logits=True, **kw
+            )
             ex = finalize_polar_extras(out["extras"])
             return out["scores"].sum() + ex.sum() * 1e-12
         pred = (model.predict_lazy if pipe == "lazy" else model.predict)(variables, x)

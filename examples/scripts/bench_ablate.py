@@ -94,10 +94,10 @@ def measure(batch: int) -> dict:
         from yolo_contour_regression_tpu.ops.nms import non_max_suppression_parts
 
         x = raw.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
-        boxes, scores, extras = model.predict_parts(variables, x)
+        boxes, logits, extras = model.predict_parts(variables, x, sigmoid=False)
         out = non_max_suppression_parts(
-            boxes, scores, extras, conf_thres=0.25, iou_thres=0.7,
-            pre_nms=300, max_det=300,
+            boxes, logits, extras, conf_thres=0.25, iou_thres=0.7,
+            pre_nms=300, max_det=300, scores_are_logits=True,
         )
         ex = finalize_polar_extras(out["extras"])
         return out["scores"].sum() + ex.sum() * 1e-12

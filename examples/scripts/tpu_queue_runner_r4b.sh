@@ -60,4 +60,12 @@ run_job runs/e2e_diag_r4b.json 3600 \
 run_job runs/serve_bench_r4b.json 3600 \
   bash -c 'python examples/scripts/bench_serve.py yolov8n-seg.yaml 640 10 && cp runs/serve_bench.json runs/serve_bench_r4b.json'
 
+# 4) headline after the logit-ranking NMS change (sigmoid after reduce)
+run_job runs/bench_headline_r4b.json 900 \
+  bash -c 'BENCH_BATCH=128 python bench.py | tail -1 > runs/bench_headline_r4b.json'
+
+# 5) stage ablation at batch 128 post-logits (decode stage shrinks?)
+run_job runs/bench_ablate_r4b.json 2400 \
+  bash -c 'python examples/scripts/bench_ablate.py 128 && cp runs/bench_ablate.json runs/bench_ablate_r4b.json'
+
 say "=== r4b queue done ==="

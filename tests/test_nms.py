@@ -170,3 +170,42 @@ def test_parts_path_bf16_inputs():
     bb = np.asarray(b16["boxes"])[0][np.asarray(b16["valid"])[0]]
     dist = np.abs(bb[:, None, :] - fb[None, :, :]).max(-1).min(-1)  # per-b16 nearest
     assert (dist < 4.0).mean() > 0.85, dist
+
+
+def test_logits_path_matches_probability_path():
+    """scores_are_logits=True (sigmoid applied after the per-anchor
+    reduction) selects the same detections with the same probabilities as
+    the sigmoid-scores path — in both best-class (predict) and multi-label
+    (val) modes, across conf thresholds."""
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.ops.nms import non_max_suppression_parts
+
+    m = build_model(
+        "yolo_contour_regression_tpu/cfg/models/yolov8-seg.yaml", nc=3
+    )
+    v = m.init(imgsz=64)
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    )
+    boxes, probs, extras = m.predict_parts(v, x)
+    _, logits, _ = m.predict_parts(v, x, sigmoid=False)
+    for conf in (0.001, 0.25):
+        for ml in (False, True):
+            kw = dict(conf_thres=conf, iou_thres=0.7, pre_nms=64, max_det=10,
+                      multi_label=ml)
+            want = non_max_suppression_parts(boxes, probs, extras, **kw)
+            got = non_max_suppression_parts(
+                boxes, logits, extras, scores_are_logits=True, **kw
+            )
+            np.testing.assert_array_equal(
+                np.asarray(want["valid"]), np.asarray(got["valid"]), err_msg=f"{conf} {ml}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(want["classes"]), np.asarray(got["classes"])
+            )
+            np.testing.assert_allclose(
+                np.asarray(want["scores"]), np.asarray(got["scores"]), atol=2e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(want["boxes"]), np.asarray(got["boxes"]), atol=1e-4
+            )

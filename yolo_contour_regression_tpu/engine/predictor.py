@@ -175,8 +175,12 @@ class BasePredictor:
                 from ..nn.modules.head import finalize_polar_extras
                 from ..ops.nms import non_max_suppression_parts
 
-                boxes_p, scores_p, extras_p = model.predict_parts(variables, images)
-                out = non_max_suppression_parts(boxes_p, scores_p, extras_p, **nms_kw)
+                boxes_p, logits_p, extras_p = model.predict_parts(
+                    variables, images, sigmoid=False
+                )
+                out = non_max_suppression_parts(
+                    boxes_p, logits_p, extras_p, scores_are_logits=True, **nms_kw
+                )
                 out["extras"] = finalize_polar_extras(out["extras"])
                 return out
             if tta:

@@ -273,13 +273,15 @@ class SegmentationValidator(BaseValidator):
             # through NMS, contour points reconstructed for survivors only
             from ..ops.nms import non_max_suppression_parts
 
-            boxes_p, scores_p, extras_p = model.predict_parts(variables, images)
+            boxes_p, logits_p, extras_p = model.predict_parts(
+                variables, images, sigmoid=False
+            )
             out = non_max_suppression_parts(
-                boxes_p, scores_p, extras_p,
+                boxes_p, logits_p, extras_p,
                 conf_thres=self.args.conf,
                 iou_thres=self.args.iou,
                 pre_nms=getattr(self.args, "pre_nms", 4096),
-                max_det=max_det, multi_label=True,
+                max_det=max_det, multi_label=True, scores_are_logits=True,
             )
             # pred boxes: letterbox px -> native px, clipped to native
             # bounds; GT: normalized letterbox -> native px

@@ -146,6 +146,7 @@ def decode_polar_parts(
     strides: Sequence[int],
     nc: int,
     nm: int = polar_ops.NUM_RAYS,
+    sigmoid: bool = True,
 ):
     """Hot-path polar decode: (boxes (B, A, 4), scores (B, A, nc),
     extras (B, A, nm+2) [rays_px | anchor_px]) — unconcatenated, untransposed.
@@ -165,7 +166,9 @@ def decode_polar_parts(
     rays_px = jnp.clip(rays * stride_t[None, :, :], polar_ops.RAY_EPS, None)
     anchors_px = anchor_points * stride_t
     boxes = polar_ops.decode_ray_boxes(rays_px, anchors_px)
-    scores = nn.sigmoid(cls)
+    # sigmoid=False hands raw logits to NMS (scores_are_logits=True there):
+    # the normalize then runs on the (B, A) reduction instead of (B, A, nc)
+    scores = nn.sigmoid(cls) if sigmoid else cls
     anc = jnp.broadcast_to(anchors_px[None], (x.shape[0],) + anchors_px.shape)
     extras = jnp.concatenate([rays_px, anc.astype(rays_px.dtype)], axis=-1)
     return boxes, scores, extras

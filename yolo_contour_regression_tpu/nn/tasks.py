@@ -487,14 +487,20 @@ class SegmentationModel(BaseModel):
         outs = self.raw_forward(variables, x, train=False)
         return head_mod.decode_polar_lazy(outs, self.strides, self.nc, self.nm)
 
-    def predict_parts(self, variables, x):
+    def predict_parts(self, variables, x, sigmoid: bool = True):
         """Eval forward + unconcatenated decode: (boxes (B, A, 4), scores
         (B, A, nc), extras (B, A, 38)) straight into
         ``ops.nms.non_max_suppression_parts`` — the deploy hot path, skipping
         the reference (B, C, A) layout round-trip entirely (see
-        head.decode_polar_parts). predict() remains the export contract."""
+        head.decode_polar_parts). predict() remains the export contract.
+
+        ``sigmoid=False`` returns raw class logits — pair with
+        ``non_max_suppression_parts(..., scores_are_logits=True)`` for the
+        bit-identical-but-leaner normalize-after-reduce path."""
         outs = self.raw_forward(variables, x, train=False)
-        return head_mod.decode_polar_parts(outs, self.strides, self.nc, self.nm)
+        return head_mod.decode_polar_parts(
+            outs, self.strides, self.nc, self.nm, sigmoid=sigmoid
+        )
 
 
 class DetectionModel(BaseModel):

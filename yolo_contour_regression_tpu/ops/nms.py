@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .boxes import box_iou
 
@@ -159,7 +160,8 @@ def non_max_suppression(
 
 @partial(
     jax.jit,
-    static_argnames=("pre_nms", "max_det", "agnostic", "multi_label"),
+    static_argnames=("pre_nms", "max_det", "agnostic", "multi_label",
+                     "scores_are_logits"),
 )
 def non_max_suppression_parts(
     boxes: jnp.ndarray,
@@ -171,6 +173,7 @@ def non_max_suppression_parts(
     max_det: int = 300,
     agnostic: bool = False,
     multi_label: bool = False,
+    scores_are_logits: bool = False,
 ):
     """NMS over unconcatenated (B, A, .) components — the hot deploy path.
 
@@ -181,14 +184,33 @@ def non_max_suppression_parts(
     skips both giant HBM passes (runs/bench_ablate.json r4: decode+NMS were
     40% of pipeline time). bf16 inputs are fine: candidate boxes are
     promoted to f32 before the IoU matrix, outputs are f32.
+
+    ``scores_are_logits``: cls_scores are raw head logits; the sigmoid is
+    applied AFTER the per-anchor max / top-k reduction, on (B, A) or (B, k)
+    instead of (B, A, nc). Sigmoid is strictly monotonic, so the
+    max/argmax/top-k selection and the conf gate (taken at
+    logit(conf_thres)) are bit-identical decisions — only ~nc x less
+    normalize traffic. This lets the decode skip materializing the full
+    sigmoid scores tensor (172 MB at batch 128 / nc 80).
     """
     nc = cls_scores.shape[-1]
+    if scores_are_logits:
+        # strict > gate at the exactly-mapped threshold; conf <= 0 passes
+        # all (conf_thres may be traced, so the guard is jnp.where)
+        c = jnp.asarray(conf_thres, jnp.float32)
+        safe = jnp.clip(c, 1e-12, 1.0 - 1e-7)
+        logit_thr = jnp.where(c > 0, jnp.log(safe) - jnp.log1p(-safe), -jnp.inf)
     if multi_label and nc > 1:
         B, A = cls_scores.shape[:2]
         k = min(pre_nms, A * nc)
         flat = cls_scores.reshape(B, A * nc)
-        gated = jnp.where(flat > conf_thres, flat, -1.0)
-        scores, idx = jax.lax.top_k(gated, k)  # (B, k)
+        if scores_are_logits:
+            gated = jnp.where(flat > logit_thr, flat, -jnp.inf)
+            scores, idx = jax.lax.top_k(gated, k)  # (B, k) logits
+            scores = jax.nn.sigmoid(scores)  # sigmoid(-inf) == 0: stays gated
+        else:
+            gated = jnp.where(flat > conf_thres, flat, -1.0)
+            scores, idx = jax.lax.top_k(gated, k)  # (B, k)
         anchor = idx // nc
         classes = idx % nc
         boxes = jnp.take_along_axis(boxes, anchor[..., None], axis=1)
@@ -196,6 +218,8 @@ def non_max_suppression_parts(
     else:
         scores = cls_scores.max(-1)
         classes = cls_scores.argmax(-1)
+        if scores_are_logits:
+            scores = jax.nn.sigmoid(scores)  # (B, A), not (B, A, nc)
 
     fn = partial(
         batched_nms,
