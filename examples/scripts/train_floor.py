@@ -90,6 +90,10 @@ def main(task="segment", epochs=150, imgsz=96, n_train=64, n_val=16, out=None):
         exist_ok=True,
         patience=max(epochs, 50),
         plots=task != "classify",
+        # the tunneled chip's D2H link makes every-epoch last.ckpt readback
+        # (~4x params) cost more than the epoch; thin the cadence (best
+        # still saves on improvement, final epoch always saves)
+        save_last_every=25,
     )
     if task == "rtdetr":
         # DETR-family standard recipe: AdamW at a transformer-scale lr; mosaic

@@ -48,7 +48,7 @@ CFG_FRACTION_KEYS = {
 CFG_INT_KEYS = {
     "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio",
     "max_det", "vid_stride", "workspace", "nbs", "save_period", "max_instances",
-    "cand_per_gt", "pre_nms",
+    "cand_per_gt", "pre_nms", "save_last_every",
 }
 CFG_BOOL_KEYS = {
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect",

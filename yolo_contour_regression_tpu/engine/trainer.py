@@ -534,8 +534,17 @@ class BaseTrainer:
         self.label_loss_items = {k: v for k, v in log.items() if k.startswith("train/")}
         self.run_callbacks("on_fit_epoch_end")
         if self.args.save and jax.process_index() == 0:
-            self._save(state, epoch, fitness)
-            self.run_callbacks("on_model_save")
+            # checkpoint cadence: every epoch by default (reference parity,
+            # trainer.py:404 save_model), but on tunneled-TPU hosts the
+            # device->host state readback (params+EMA+opt_state) can cost
+            # many times the epoch itself, so `save_last_every` thins the
+            # last.ckpt cadence. Real fitness improvements and the final
+            # epoch always save — best.ckpt never goes stale.
+            every = max(1, int(getattr(self.args, "save_last_every", 1) or 1))
+            improved = fitness >= self.best_fitness and fitness > 0
+            if improved or (epoch + 1) % every == 0 or epoch + 1 == self.args.epochs:
+                self._save(state, epoch, fitness)
+                self.run_callbacks("on_model_save")
         return fitness
 
     def _save(self, state: TrainState, epoch: int, fitness: float):
