@@ -68,4 +68,13 @@ run_job runs/bench_headline_r4b.json 900 \
 run_job runs/bench_ablate_r4b.json 2400 \
   bash -c 'python examples/scripts/bench_ablate.py 128 && cp runs/bench_ablate.json runs/bench_ablate_r4b.json'
 
+# 6) int8 conv primitive probe: does XLA:TPU run s8xs8->s32 at the 2x rate?
+run_job runs/bench_int8_micro.json 1800 python examples/scripts/bench_int8_micro.py
+
+# 7) RT-DETR quality floor, now viable: save_last_every=25 removes the
+#    ~51s/epoch checkpoint-readback stall that timed out three r4a tries
+#    (300 epochs of real 1.6s + ~25 best-saves ~= 35-60 min)
+run_job runs/floor_rtdetr/floor.json 7200 \
+  python examples/scripts/train_floor.py rtdetr 300 96 64
+
 say "=== r4b queue done ==="
