@@ -33,6 +33,9 @@ SHAPES = [
 
 
 def main(batch=128, iters=30):
+    # honors JAX_PLATFORMS even when a site hook pre-imported jax (the bare
+    # env var is void by then — the package __init__ mirrors it into config)
+    import yolo_contour_regression_tpu  # noqa: F401
     import jax
     import jax.numpy as jnp
 
@@ -60,9 +63,12 @@ def main(batch=128, iters=30):
                              w.astype(jnp.bfloat16))
                     return acc + y.astype(jnp.float32).sum() * 1e-20
                 if mode == "int8_raw":  # pre-quantized in/out, pure MXU probe
-                    xi = (x.astype(jnp.int32) + acc * 0).astype(jnp.int8)
+                    # carried dependency the compiler cannot fold away or
+                    # hoist: one input pixel really changes per iteration,
+                    # and the conv checksum's low bit feeds the carry
+                    xi = x.at[0, 0, 0, 0].set((acc % 127).astype(jnp.int8))
                     y = conv(xi, w, pet=jnp.int32)
-                    return acc + y.sum() * 0 + 1
+                    return acc + (y.sum() & 1)
                 # deploy epilogue: quantize input, s8xs8->s32, dequant f32
                 xq = jnp.clip(jnp.round((x + acc * 1e-20) * 12.7), -127, 127
                               ).astype(jnp.int8)
