@@ -84,6 +84,51 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row))
+
+    # open-loop saturation: a feeder keeps `depth` requests outstanding
+    # without waiting for results — measures the pipeline's steady-state
+    # capacity (preprocess+upload of batch N+1 overlaps execute+readback of
+    # batch N), which closed-loop lockstep structurally understates
+    for depth in (64, 256):
+        srv.reset_stats()
+        stop_evt = threading.Event()
+        counter: list = []
+        sem = threading.Semaphore(depth)
+
+        def feeder():
+            pending = []
+            while not stop_evt.is_set():
+                sem.acquire()
+                fut = srv.submit(image)
+                fut.add_done_callback(
+                    lambda f: (sem.release(), counter.append(time.perf_counter()))
+                )
+                pending.append(fut)
+            for f in pending:
+                try:
+                    f.result(timeout=600)
+                except Exception:
+                    pass
+
+        th = threading.Thread(target=feeder)
+        t0 = time.perf_counter()
+        th.start()
+        time.sleep(seconds)
+        stop_evt.set()
+        th.join()
+        elapsed = time.perf_counter() - t0
+        s = srv.stats()
+        row = {
+            "model": model_yaml, "imgsz": imgsz, "mode": "open_loop",
+            "outstanding": depth, "max_batch": max_batch,
+            "max_delay_ms": delay_ms,
+            "throughput_rps": round(len(counter) / elapsed, 1),
+            "mean_batch": s.get("mean_batch"),
+            "latency_ms_p50": s.get("latency_ms_p50"),
+            "latency_ms_p99": s.get("latency_ms_p99"),
+        }
+        rows.append(row)
+        print(json.dumps(row))
     srv.close()
 
     out = Path("runs/serve_bench.json")
