@@ -20,6 +20,10 @@ import numpy as np
 def main(imgsz=640, batch=16, steps=40, n_imgs=128):
     rows = [run_one(imgsz, batch, steps, n_imgs, cache, spd)
             for cache, spd in (("device", 8), ("device", 1), ("ram", 1))]
+    # realistic large-batch training point: the fused step amortizes decode/
+    # assigner fixed costs over 4x the images (bench_train.py measures the
+    # pure step only at 16)
+    rows.append(run_one(imgsz, 64, steps, n_imgs, "device", 8))
     rec = {"rows": rows,
            "note": "cache='device' + steps_per_dispatch=8: lax.scan of 8 "
                    "optimizer steps per device call over the HBM image pool "
