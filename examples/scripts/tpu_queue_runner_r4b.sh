@@ -77,8 +77,8 @@ run_job runs/bench_int8_micro.json 1800 python examples/scripts/bench_int8_micro
 run_job runs/floor_rtdetr/floor.json 7200 \
   python examples/scripts/train_floor.py rtdetr 300 96 64
 
-say "=== r4b queue done ==="
-
 # 8) per-op attribution of the fused deploy pipeline (where do the 4.3 ms
 #    of decode+NMS actually go: concat? top_k? reduces?)
 run_job runs/profile_pipeline.json 1800 python examples/scripts/profile_pipeline.py 128 20
+
+say "=== r4b queue done ==="
