@@ -82,7 +82,10 @@ def main(batch=128, iters=30):
         flops = 2 * batch * (H // s) * (W // s) * k * k * Ci * Co
         for mode in ("bf16", "int8_raw", "int8_deploy"):
             xx, ww = (x8, w8) if mode == "int8_raw" else (x, w)
+            # warm BOTH static n values — n is a static arg, so the timed
+            # n=iters+2 call would otherwise compile inside the window
             jax.block_until_ready(loop(xx, ww, 2, mode))
+            jax.block_until_ready(loop(xx, ww, iters + 2, mode))
             t0 = time.perf_counter()
             jax.block_until_ready(loop(xx, ww, iters + 2, mode))
             t1 = time.perf_counter()

@@ -96,15 +96,27 @@ def main():
         sem = threading.Semaphore(depth)
 
         def feeder():
-            pending = []
+            # keep only OUTSTANDING futures (done-callback discards): at
+            # saturation rps a grow-only list would hoard every Results
+            # object produced during the phase
+            pending = set()
+            lock = threading.Lock()
+
+            def done(f):
+                sem.release()
+                counter.append(time.perf_counter())
+                with lock:
+                    pending.discard(f)
+
             while not stop_evt.is_set():
                 sem.acquire()
                 fut = srv.submit(image)
-                fut.add_done_callback(
-                    lambda f: (sem.release(), counter.append(time.perf_counter()))
-                )
-                pending.append(fut)
-            for f in pending:
+                with lock:
+                    pending.add(fut)
+                fut.add_done_callback(done)
+            with lock:
+                tail = list(pending)
+            for f in tail:
                 try:
                     f.result(timeout=600)
                 except Exception:

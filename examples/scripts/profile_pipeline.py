@@ -88,7 +88,14 @@ def main(batch=128, iters=20):
     top = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
     rec = {
         "batch": batch, "iters": iters,
+        # when no lane name matches tpu/device the aggregation fell back to
+        # every lane (host Python included) — percentages are then only a
+        # rough signal, flag it
+        "host_fallback": not dev_pids,
+        "device_lanes": len(dev_pids),
         "total_device_us": round(total, 1),
+        # NOTE: sums across matching lanes; with multiple device streams
+        # this exceeds wall time — use pct for attribution, not per_iter_ms
         "per_iter_ms": round(total / max(iters, 1) / 1e3, 3),
         "top_ops_us": [
             {"op": k, "us": round(v, 1), "pct": round(100 * v / total, 1) if total else 0}

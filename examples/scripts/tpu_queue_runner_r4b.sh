@@ -62,7 +62,7 @@ run_job runs/serve_bench_r4b.json 3600 \
 
 # 4) headline after the logit-ranking NMS change (sigmoid after reduce)
 run_job runs/bench_headline_r4b.json 900 \
-  bash -c 'BENCH_BATCH=128 python bench.py | tail -1 > runs/bench_headline_r4b.json'
+  bash -c 'BENCH_BATCH=128 python bench.py > /tmp/bench_out.txt && tail -1 /tmp/bench_out.txt > runs/bench_headline_r4b.json'
 
 # 5) stage ablation at batch 128 post-logits (decode stage shrinks?)
 run_job runs/bench_ablate_r4b.json 2400 \

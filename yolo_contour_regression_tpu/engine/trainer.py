@@ -424,6 +424,7 @@ class BaseTrainer:
                     LOGGER.info(
                         f"early stopping at epoch {epoch + 1} (patience {args.patience})"
                     )
+                    self._save_on_stop(state, epoch, fitness)
                     break
                 continue
             for i in range(steps_per_epoch):
@@ -475,6 +476,7 @@ class BaseTrainer:
             fitness = self._epoch_tail(state, epoch, log, validator, data)
             if stopper(epoch, fitness):
                 LOGGER.info(f"early stopping at epoch {epoch + 1} (patience {args.patience})")
+                self._save_on_stop(state, epoch, fitness)
                 break
 
         if hasattr(self, "_saver"):
@@ -542,10 +544,23 @@ class BaseTrainer:
             # epoch always save — best.ckpt never goes stale.
             every = max(1, int(getattr(self.args, "save_last_every", 1) or 1))
             improved = fitness >= self.best_fitness and fitness > 0
-            if improved or (epoch + 1) % every == 0 or epoch + 1 == self.args.epochs:
+            periodic = self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0
+            if (improved or periodic or (epoch + 1) % every == 0
+                    or epoch + 1 == self.args.epochs):
                 self._save(state, epoch, fitness)
+                self._last_saved_epoch = epoch
                 self.run_callbacks("on_model_save")
         return fitness
+
+    def _save_on_stop(self, state, epoch: int, fitness: float):
+        """Early stopping can break on an off-cadence epoch — last.ckpt must
+        hold the stopping state, not one up to `save_last_every` epochs
+        stale (resume/strip read it)."""
+        if self.args.save and jax.process_index() == 0 \
+                and getattr(self, "_last_saved_epoch", -1) != epoch:
+            self._save(state, epoch, fitness)
+            self._last_saved_epoch = epoch
+            self.run_callbacks("on_model_save")
 
     def _save(self, state: TrainState, epoch: int, fitness: float):
         trees = dict(

@@ -23,7 +23,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .boxes import box_iou
 
@@ -189,9 +188,13 @@ def non_max_suppression_parts(
     applied AFTER the per-anchor max / top-k reduction, on (B, A) or (B, k)
     instead of (B, A, nc). Sigmoid is strictly monotonic, so the
     max/argmax/top-k selection and the conf gate (taken at
-    logit(conf_thres)) are bit-identical decisions — only ~nc x less
-    normalize traffic. This lets the decode skip materializing the full
-    sigmoid scores tensor (172 MB at batch 128 / nc 80).
+    logit(conf_thres)) make the same decisions — only ~nc x less normalize
+    traffic. One caveat: logits beyond ~16.6 all saturate to probability
+    1.0 in f32, so when MORE than pre_nms candidates tie at 1.0 the two
+    paths can tie-break the cut differently (the logits path ranks the ties
+    by true logit — strictly more informative). This lets the decode skip
+    materializing the full sigmoid scores tensor (172 MB at batch 128 /
+    nc 80).
     """
     nc = cls_scores.shape[-1]
     if scores_are_logits:
