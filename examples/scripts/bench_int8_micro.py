@@ -32,7 +32,7 @@ SHAPES = [
 ]
 
 
-def main(batch=128, iters=30):
+def main(batch=128, iters=300):
     # honors JAX_PLATFORMS even when a site hook pre-imported jax (the bare
     # env var is void by then — the package __init__ mirrors it into config)
     import yolo_contour_regression_tpu  # noqa: F401
@@ -86,14 +86,21 @@ def main(batch=128, iters=30):
             # n=iters+2 call would otherwise compile inside the window
             jax.block_until_ready(loop(xx, ww, 2, mode))
             jax.block_until_ready(loop(xx, ww, iters + 2, mode))
-            t0 = time.perf_counter()
-            jax.block_until_ready(loop(xx, ww, iters + 2, mode))
-            t1 = time.perf_counter()
-            jax.block_until_ready(loop(xx, ww, 2, mode))
-            t2 = time.perf_counter()
-            per = ((t1 - t0) - (t2 - t1)) / iters
+            # Differential timing over the tunnel: one dispatch costs O(ms)
+            # with ms-scale jitter, so (long - short) is only meaningful when
+            # iters*per_conv >> jitter (hence iters=300, ~10-50ms of compute)
+            # AND we take the median of several pairs rather than one sample.
+            diffs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop(xx, ww, iters + 2, mode))
+                t1 = time.perf_counter()
+                jax.block_until_ready(loop(xx, ww, 2, mode))
+                t2 = time.perf_counter()
+                diffs.append((t1 - t0) - (t2 - t1))
+            per = sorted(diffs)[len(diffs) // 2] / iters
             row[mode] = {
-                "ms": round(per * 1e3, 3),
+                "ms": round(per * 1e3, 4),
                 "tflops": round(flops / per / 1e12, 1),
             }
         row["int8_raw_speedup"] = round(row["bf16"]["ms"] / row["int8_raw"]["ms"], 2)
