@@ -79,8 +79,12 @@ def measure(batch: int) -> dict:
         )
         model_name += "-int8"
 
-    # pipeline variants, newest first (BENCH_PIPE = parts|full|lazy):
-    #   parts (default): predict_parts -> non_max_suppression_parts ->
+    # pipeline variants, newest first (BENCH_PIPE = topk|parts|full|lazy):
+    #   topk: filter-before-decode — candidates selected on raw class logits,
+    #     boxes/extras decoded for the pre_nms winners only; no full-anchor
+    #     boxes/extras tensors at all (head.decode_polar_topk). Equivalence
+    #     pinned by test_nms.py::test_topk_path_matches_parts_pipeline.
+    #   parts: predict_parts -> non_max_suppression_parts ->
     #     finalize survivors. No (B, C, A) layout round-trip, no full-tensor
     #     f32 cast, no 108-column contour materialization — equivalence
     #     pinned by test_nms.py::test_parts_path_matches_reference_layout.
@@ -104,6 +108,21 @@ def measure(batch: int) -> dict:
         # 512==1024==4096, and measured identical down to 128); the (k,k)
         # suppression matrix shrink is worth ~5% pipeline throughput vs 512
         kw = dict(conf_thres=0.25, iou_thres=0.7, pre_nms=300, max_det=300)
+        if pipe == "topk":
+            from yolo_contour_regression_tpu.ops.nms import (
+                non_max_suppression_selected,
+            )
+
+            boxes, scores, classes, extras = model.predict_topk(
+                variables, x, k=kw["pre_nms"], conf_thres=kw["conf_thres"]
+            )
+            out = non_max_suppression_selected(
+                boxes, scores, classes, extras,
+                conf_thres=kw["conf_thres"], iou_thres=kw["iou_thres"],
+                max_det=kw["max_det"],
+            )
+            ex = finalize_polar_extras(out["extras"])
+            return out["scores"].sum() + ex.sum() * 1e-12
         if pipe == "parts":
             boxes, logits, extras = model.predict_parts(variables, x, sigmoid=False)
             out = non_max_suppression_parts(

@@ -102,10 +102,34 @@ def measure(batch: int) -> dict:
         ex = finalize_polar_extras(out["extras"])
         return out["scores"].sum() + ex.sum() * 1e-12
 
+    def stage_full_topk(variables, raw, x0, acc):
+        # filter-before-decode: candidates picked on raw class logits, boxes
+        # and extras decoded for the pre_nms winners only — no full-anchor
+        # boxes/extras tensors (head.decode_polar_topk; bit-identical to the
+        # parts path per test_nms.py::test_topk_path_matches_parts_pipeline)
+        from yolo_contour_regression_tpu.nn.modules.head import (
+            finalize_polar_extras,
+        )
+        from yolo_contour_regression_tpu.ops.nms import (
+            non_max_suppression_selected,
+        )
+
+        x = raw.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
+        boxes, scores, classes, extras = model.predict_topk(
+            variables, x, k=300, conf_thres=0.25
+        )
+        out = non_max_suppression_selected(
+            boxes, scores, classes, extras, conf_thres=0.25, iou_thres=0.7,
+            max_det=300,
+        )
+        ex = finalize_polar_extras(out["extras"])
+        return out["scores"].sum() + ex.sum() * 1e-12
+
     stages = {"model": stage_model, "+decode": stage_decode,
               "+pre": stage_pre, "+nms": stage_full,
               "+nms(lazy)": stage_full_lazy,
-              "+nms(parts)": stage_full_parts}
+              "+nms(parts)": stage_full_parts,
+              "+nms(topk)": stage_full_topk}
     row = {"batch": batch}
     for name, fn in stages.items():
         @partial(jax.jit, static_argnames=("n",))

@@ -209,3 +209,38 @@ def test_logits_path_matches_probability_path():
             np.testing.assert_allclose(
                 np.asarray(want["boxes"]), np.asarray(got["boxes"]), atol=1e-4
             )
+
+
+def test_topk_path_matches_parts_pipeline():
+    """Filter-before-decode (predict_topk -> non_max_suppression_selected) is
+    bit-identical to the parts pipeline at the same pre_nms: candidate
+    selection on raw logits is monotonic under sigmoid, so the same anchors
+    are picked, then decoded identically."""
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.ops.nms import (
+        non_max_suppression_parts,
+        non_max_suppression_selected,
+    )
+
+    m = build_model(
+        "yolo_contour_regression_tpu/cfg/models/yolov8-seg.yaml", nc=3
+    )
+    v = m.init(imgsz=64)
+    x = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    )
+    for conf in (0.25, 0.001):
+        kw = dict(conf_thres=conf, iou_thres=0.7, max_det=10)
+
+        pb, pl, pe = m.predict_parts(v, x, sigmoid=False)
+        ref = non_max_suppression_parts(
+            pb, pl, pe, pre_nms=64, scores_are_logits=True, **kw
+        )
+        boxes, scores, classes, extras = m.predict_topk(v, x, k=64, conf_thres=conf)
+        got = non_max_suppression_selected(boxes, scores, classes, extras, **kw)
+
+        np.testing.assert_array_equal(np.asarray(ref["valid"]), np.asarray(got["valid"]))
+        np.testing.assert_array_equal(np.asarray(ref["classes"]), np.asarray(got["classes"]))
+        np.testing.assert_array_equal(np.asarray(ref["scores"]), np.asarray(got["scores"]))
+        np.testing.assert_array_equal(np.asarray(ref["boxes"]), np.asarray(got["boxes"]))
+        np.testing.assert_array_equal(np.asarray(ref["extras"]), np.asarray(got["extras"]))

@@ -174,6 +174,56 @@ def decode_polar_parts(
     return boxes, scores, extras
 
 
+def decode_polar_topk(
+    outs: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    nm: int = polar_ops.NUM_RAYS,
+    k: int = 1024,
+    conf_thres=0.25,
+):
+    """Filter-before-decode polar decode: select the top-``k`` candidates by
+    class score FIRST, then decode boxes/extras for those k anchors only.
+
+    ``decode_polar_parts`` still materializes full-anchor-set tensors after
+    the level flatten — boxes (B, A, 4), the [rays|anchor] extras concat
+    (B, A, 38) — of which NMS keeps at most ``pre_nms`` rows. Candidate
+    selection needs nothing but the class logits: the per-anchor max/argmax
+    is monotonic under sigmoid, so gating at logit(conf_thres) and top-k on
+    raw logits picks the identical candidate set, and rays are gathered and
+    decoded for the k winners alone (28x fewer anchors at A=8400, k=1024).
+    Outputs feed ``ops.nms.non_max_suppression_selected``; the combination is
+    bit-identical to decode_polar_parts + non_max_suppression_parts
+    (pinned by tests/test_nms.py). Best-class semantics only — the val-mode
+    multi_label path keeps the parts layout.
+
+    Returns (boxes (B, k, 4), scores (B, k) sigmoid-space descending with
+    gated-out entries 0, classes (B, k) int32, extras (B, k, nm+2)).
+    """
+    feat_hw = [(o.shape[1], o.shape[2]) for o in outs]
+    anchor_points, stride_t = polar_ops.make_anchors(feat_hw, strides, dtype=outs[0].dtype)
+    x = flatten_levels(outs)  # (B, A, nm+nc)
+    rays, cls = x[..., :nm], x[..., nm:]
+    best = cls.max(-1)  # (B, A) logits
+    classes = cls.argmax(-1).astype(jnp.int32)
+    # same gate mapping as non_max_suppression_parts(scores_are_logits=True)
+    c = jnp.asarray(conf_thres, jnp.float32)
+    safe = jnp.clip(c, 1e-12, 1.0 - 1e-7)
+    logit_thr = jnp.where(c > 0, jnp.log(safe) - jnp.log1p(-safe), -jnp.inf)
+    gated = jnp.where(best > logit_thr.astype(best.dtype), best, -jnp.inf)
+    k = min(k, gated.shape[-1])
+    top_logits, order = jax.lax.top_k(gated, k)  # (B, k)
+    scores = jax.nn.sigmoid(top_logits)  # sigmoid(-inf) == 0: stays gated
+
+    rays_k = jnp.take_along_axis(rays, order[..., None], axis=1)  # (B, k, 36)
+    anchors_px = anchor_points * stride_t  # (A, 2)
+    rays_px = jnp.clip(rays_k * stride_t[order], polar_ops.RAY_EPS, None)
+    anc_k = anchors_px[order].astype(rays_px.dtype)  # (B, k, 2)
+    boxes = polar_ops.decode_ray_boxes(rays_px, anc_k)
+    extras = jnp.concatenate([rays_px, anc_k], axis=-1)
+    return boxes, scores, jnp.take_along_axis(classes, order, axis=1), extras
+
+
 def finalize_polar_extras(ex: jnp.ndarray, nm: int = polar_ops.NUM_RAYS):
     """Post-NMS half of the lazy decode: extras (..., 38) [rays_px |
     anchor_px] -> the standard 108 layout (..., 108) [36 x | 36 y | 36

@@ -502,6 +502,18 @@ class SegmentationModel(BaseModel):
             outs, self.strides, self.nc, self.nm, sigmoid=sigmoid
         )
 
+    def predict_topk(self, variables, x, k: int = 1024, conf_thres=0.25):
+        """Eval forward + filter-before-decode: top-``k`` candidates selected
+        on raw class logits, boxes/extras decoded for those k anchors only
+        (head.decode_polar_topk). Pair with
+        ``ops.nms.non_max_suppression_selected`` — bit-identical to the
+        predict_parts pipeline at the same pre_nms, with no full-anchor-set
+        boxes/extras materialization. Best-class (predict-mode) semantics."""
+        outs = self.raw_forward(variables, x, train=False)
+        return head_mod.decode_polar_topk(
+            outs, self.strides, self.nc, self.nm, k=k, conf_thres=conf_thres
+        )
+
 
 class DetectionModel(BaseModel):
     task = "detect"

@@ -233,3 +233,36 @@ def non_max_suppression_parts(
         agnostic=agnostic,
     )
     return jax.vmap(fn)(boxes, scores, classes, extras)
+
+
+@partial(jax.jit, static_argnames=("max_det", "agnostic"))
+def non_max_suppression_selected(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    extras: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.7,
+    max_det: int = 300,
+    agnostic: bool = False,
+):
+    """NMS over PRE-SELECTED candidates — the filter-before-decode hot path.
+
+    Inputs are the (B, k, .) outputs of ``head.decode_polar_topk``: the
+    per-image top-k candidates by class score, already conf-gated (dead
+    entries carry score 0) and sorted descending. ``batched_nms`` with
+    pre_nms == k then re-ranks k already-sorted rows (a cheap no-op) and the
+    suppression matrix works exactly as in the full-tensor path, so results
+    are bit-identical to non_max_suppression_parts with the same pre_nms
+    (pinned by tests/test_nms.py) while never touching a full-anchor-set
+    boxes/extras tensor.
+    """
+    fn = partial(
+        batched_nms,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        pre_nms=boxes.shape[1],
+        max_det=max_det,
+        agnostic=agnostic,
+    )
+    return jax.vmap(fn)(boxes, scores, classes, extras)
