@@ -83,28 +83,40 @@ def main(batch=128, iters=300):
         for mode in ("bf16", "int8_raw", "int8_deploy"):
             xx, ww = (x8, w8) if mode == "int8_raw" else (x, w)
             # warm BOTH static n values — n is a static arg, so the timed
-            # n=iters+2 call would otherwise compile inside the window
-            jax.block_until_ready(loop(xx, ww, 2, mode))
-            jax.block_until_ready(loop(xx, ww, iters + 2, mode))
+            # n=iters+2 call would otherwise compile inside the window.
+            # NB: timing must FETCH the value (float(...)) — on the tunneled
+            # axon backend block_until_ready resolves at enqueue, not at
+            # completion, and walls come out ~0.04 ms for 300 convs
+            # (runs/queue_r4c.log try 3 walls_ms evidence)
+            float(loop(xx, ww, 2, mode))
+            float(loop(xx, ww, iters + 2, mode))
             # Differential timing over the tunnel: one dispatch costs O(ms)
             # with ms-scale jitter, so (long - short) is only meaningful when
             # iters*per_conv >> jitter (hence iters=300, ~10-50ms of compute)
             # AND we take the median of several pairs rather than one sample.
-            diffs = []
+            diffs, walls = [], []
             for _ in range(5):
                 t0 = time.perf_counter()
-                jax.block_until_ready(loop(xx, ww, iters + 2, mode))
+                float(loop(xx, ww, iters + 2, mode))
                 t1 = time.perf_counter()
-                jax.block_until_ready(loop(xx, ww, 2, mode))
+                float(loop(xx, ww, 2, mode))
                 t2 = time.perf_counter()
                 diffs.append((t1 - t0) - (t2 - t1))
+                walls.append((round((t1 - t0) * 1e3, 2), round((t2 - t1) * 1e3, 2)))
             per = sorted(diffs)[len(diffs) // 2] / iters
             row[mode] = {
                 "ms": round(per * 1e3, 4),
-                "tflops": round(flops / per / 1e12, 1),
+                "tflops": round(flops / per / 1e12, 1) if per > 1e-9 else None,
+                # raw (long, short) walls: if the long loop's wall does not
+                # scale with n, the backend is not executing n body trips
+                # and the differential is meaningless — keep the evidence
+                "walls_ms": walls,
             }
-        row["int8_raw_speedup"] = round(row["bf16"]["ms"] / row["int8_raw"]["ms"], 2)
-        row["int8_deploy_speedup"] = round(row["bf16"]["ms"] / row["int8_deploy"]["ms"], 2)
+        for other in ("int8_raw", "int8_deploy"):
+            ms = row[other]["ms"]
+            row[f"{other}_speedup"] = (
+                round(row["bf16"]["ms"] / ms, 2) if ms > 1e-6 else None
+            )
         print(json.dumps(row))
         rows.append(row)
 
