@@ -66,6 +66,14 @@ def measure(batch: int) -> dict:
     from yolo_contour_regression_tpu.nn.fuse import fuse_variables
 
     variables, model = fuse_variables(model, variables)
+    # BENCH_FOLD_PRE=1: fold the /255 normalize into the stem conv (exact —
+    # conv is linear in an input scale) so the pipeline feeds the raw-cast
+    # uint8 image and skips the standalone normalize pass over HBM
+    fold_pre = bool(os.environ.get("BENCH_FOLD_PRE"))
+    if fold_pre:
+        from yolo_contour_regression_tpu.nn.fuse import fold_input_scale
+
+        variables = fold_input_scale(variables)
     if os.environ.get("BENCH_INT8"):
         # opt-in native w8a8 path (nn/quant.py): int8 convs on the MXU.
         # Random-image calibration is fine for throughput (scales only
@@ -73,7 +81,10 @@ def measure(batch: int) -> dict:
         # (tests/test_quant.py)
         from yolo_contour_regression_tpu.nn.quant import quantize_variables
 
-        calib = np.random.default_rng(1).uniform(0, 1, (2, imgsz, imgsz, 3))
+        # folded stems expect raw 0..255 inputs — calibrate in that range
+        calib = np.random.default_rng(1).uniform(
+            0, 255.0 if fold_pre else 1.0, (2, imgsz, imgsz, 3)
+        )
         variables, model = quantize_variables(
             model, variables, [calib.astype(np.float32)]
         )
@@ -101,7 +112,9 @@ def measure(batch: int) -> dict:
         )
         from yolo_contour_regression_tpu.ops.nms import non_max_suppression_parts
 
-        x = raw_u8.astype(dtype) / 255.0 + (acc * 1e-12).astype(dtype)
+        x = raw_u8.astype(dtype) + (acc * 1e-12).astype(dtype)
+        if not fold_pre:
+            x = x / 255.0
         # pre_nms=300 == max_det: the smallest candidate pre-select that
         # keeps full output capacity. mAP-neutral even at val conf=0.001 on
         # the trained floor model (runs/floor/floor.json pre_nms_delta:

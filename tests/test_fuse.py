@@ -61,3 +61,30 @@ def test_fused_param_count_smaller():
     n_orig = sum(int(p.size) for p in jax.tree_util.tree_leaves(v["params"]))
     n_fused = sum(int(p.size) for p in jax.tree_util.tree_leaves(fused_v["params"]))
     assert n_fused < n_orig  # 1x1 branches and BN params folded away
+
+
+def test_fold_input_scale_equivalence():
+    """Folding the /255 normalize into the stem conv (conv is linear in an
+    input scale) gives the same predictions on the raw-cast image as the
+    fused model on the normalized image."""
+    from yolo_contour_regression_tpu.nn.fuse import fold_input_scale
+
+    m = build_model(CFG / "yolov8-seg.yaml")
+    v = _randomize_stats(m.init(imgsz=64), seed=4)
+    raw = np.random.default_rng(5).integers(0, 255, (1, 64, 64, 3))
+    fused_v, fm = fuse_variables(m, v)
+    want = fm.predict(fused_v, jnp.asarray(raw.astype(np.float32) / 255.0))
+    folded_v = fold_input_scale(fused_v)
+    got = fm.predict(folded_v, jnp.asarray(raw.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-3)
+
+
+def test_fold_input_scale_rejects_unfused():
+    import pytest
+
+    from yolo_contour_regression_tpu.nn.fuse import fold_input_scale
+
+    m = build_model(CFG / "yolov8-seg.yaml")
+    v = m.init(imgsz=64)
+    with pytest.raises(ValueError):
+        fold_input_scale(v)

@@ -145,3 +145,41 @@ def fuse_variables(model, variables) -> Tuple[Dict, Any]:
         dict(variables["params"]), dict(variables.get("batch_stats", {}))
     )
     return {"params": fused_params}, as_deploy_model(model)
+
+
+def fold_input_scale(variables: Dict, scale: float = 1.0 / 255.0) -> Dict:
+    """Fold an input-scaling preprocess into the stem conv of a FUSED tree.
+
+    Convolution is linear in an elementwise input scale —
+    ``conv(s*x, W) + b == conv(x, s*W) + b`` — so the deploy pipeline can
+    skip the uint8 -> float ``x / 255`` normalize pass entirely and feed the
+    raw-cast image: the bare dtype cast fuses into the conv's input read,
+    while the standalone multiply costs a full extra HBM round-trip over the
+    image batch (runs/bench_ablate.json "+pre": 0.61 ms at batch 128/640px).
+    Integer pixel values 0..255 are exactly representable in bf16, so the
+    folded path actually LOSES no input precision vs normalizing first.
+
+    Only valid for pure-scale preprocessing (the reference pipeline's, see
+    ultralytics/engine/predictor.py:129 ``im /= 255``) — a mean shift would
+    need a bias term. Returns a new ``{params}`` dict; the caller's contract
+    becomes "inputs are raw 0..255".
+    """
+    import copy
+
+    params = copy.deepcopy(dict(variables["params"]))
+    stem = params.get("layer0")
+    if not (_is_dict(stem) and "conv" in stem and "kernel" in stem["conv"]):
+        raise ValueError(
+            "fold_input_scale needs a FUSED tree (fuse_variables) with a "
+            "layer0 stem conv"
+        )
+    kernel = stem["conv"]["kernel"]
+    if kernel.shape[2] not in (1, 3):  # grayscale or RGB image stem
+        raise ValueError(
+            f"layer0 conv in-channels {kernel.shape[2]} does not look like "
+            "an image stem — refusing to fold"
+        )
+    stem["conv"]["kernel"] = (kernel.astype(jnp.float32) * scale).astype(kernel.dtype)
+    out = dict(variables)
+    out["params"] = params
+    return out
