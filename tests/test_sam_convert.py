@@ -69,9 +69,15 @@ def make_state(rng):
         sd[f"prompt_encoder.point_embeddings.{i}.weight"] = rnd(rng, 1, OC)
     sd["prompt_encoder.not_a_point_embed.weight"] = rnd(rng, 1, OC)
     sd["prompt_encoder.no_mask_embed.weight"] = rnd(rng, 1, OC)
-    # mask-downscaling CNN: intentionally present so the skip path is tested
+    # mask-downscaling CNN (official Sequential 0/1/3/4/6, mask_in_chans=16)
     sd["prompt_encoder.mask_downscaling.0.weight"] = rnd(rng, 4, 1, 2, 2)
     sd["prompt_encoder.mask_downscaling.0.bias"] = rnd(rng, 4)
+    ln("prompt_encoder.mask_downscaling.1", 4)
+    sd["prompt_encoder.mask_downscaling.3.weight"] = rnd(rng, 16, 4, 2, 2)
+    sd["prompt_encoder.mask_downscaling.3.bias"] = rnd(rng, 16)
+    ln("prompt_encoder.mask_downscaling.4", 16)
+    sd["prompt_encoder.mask_downscaling.6.weight"] = rnd(rng, OC, 16, 1, 1)
+    sd["prompt_encoder.mask_downscaling.6.bias"] = rnd(rng, OC)
 
     # --- mask decoder ------------------------------------------------------
     sd["mask_decoder.iou_token.weight"] = rnd(rng, 1, TD)
@@ -223,6 +229,28 @@ def o_prompt(sd, points_px, labels):
     return emb, dense, image_pe
 
 
+def o_mask_dense(sd, mask):
+    """mask (B, 4g, 4g, 1) logits -> dense embedding (B, g, g, OC) via the
+    official mask_downscaling Sequential (conv2s2/LN2d/GELU x2, conv1x1)."""
+
+    def conv(x, name, k, s):
+        w = sd[f"{name}.weight"]  # (O, I, k, k)
+        B, H, W, _ = x.shape
+        out = np.zeros((B, H // s, W // s, w.shape[0]), np.float32)
+        for dy in range(k):
+            for dx in range(k):
+                out = out + np.einsum(
+                    "bhwi,oi->bhwo", x[:, dy::s, dx::s], w[:, :, dy, dx]
+                )
+        return out + sd[f"{name}.bias"]
+
+    x = conv(mask, "prompt_encoder.mask_downscaling.0", 2, 2)
+    x = gelu(t_ln(sd, "prompt_encoder.mask_downscaling.1", x, 1e-6))
+    x = conv(x, "prompt_encoder.mask_downscaling.3", 2, 2)
+    x = gelu(t_ln(sd, "prompt_encoder.mask_downscaling.4", x, 1e-6))
+    return conv(x, "prompt_encoder.mask_downscaling.6", 1, 1)
+
+
 def o_ds_attn(sd, pre, q, k, v, heads):
     qp, kp, vp = t_lin(sd, f"{pre}.q_proj", q), t_lin(sd, f"{pre}.k_proj", k), t_lin(sd, f"{pre}.v_proj", v)
     d = qp.shape[-1]
@@ -342,18 +370,20 @@ def test_sam_conversion_oracle_parity():
     pts = np.array([[[9.0, 21.0], [25.0, 6.0], [0.0, 0.0]]], np.float32)
     labs = np.array([[1, 2, -1]], np.int32)
 
+    g = IMG // PATCH
+    dmask = rng.normal(0, 1, (1, 4 * g, 4 * g, 1)).astype(np.float32)
     variables = {
         "encoder": enc.init(key, jnp.asarray(img)),
-        "prompt": pe.init(key, jnp.asarray(pts), jnp.asarray(labs)),
+        "prompt": pe.init(key, jnp.asarray(pts), jnp.asarray(labs),
+                          jnp.asarray(dmask)),
         "decoder": None,
     }
     sp, dn, ipe = pe.apply(variables["prompt"], jnp.asarray(pts), jnp.asarray(labs))
-    g = IMG // PATCH
     variables["decoder"] = dec.init(key, jnp.zeros((1, g, g, TD)), ipe, sp, dn)
 
     new_vars, report = convert_sam_state_dict(sd, variables, strict=True)
-    assert report["converted"] == len(sd) - len(report["skipped"])
-    assert any("mask_downscaling" in k for k in report["skipped"])
+    assert report["converted"] == len(sd)
+    assert not report["skipped"]
 
     # flax forward with converted weights
     emb = enc.apply(new_vars["encoder"], jnp.asarray(img))
@@ -369,6 +399,15 @@ def test_sam_conversion_oracle_parity():
     o_masks, o_iou = o_decoder(sd, o_emb, o_ipe, o_sp, o_dn)
     np.testing.assert_allclose(np.asarray(masks), o_masks, atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(iou), o_iou, atol=5e-4, rtol=1e-3)
+
+    # mask-prompt path: dense embedding comes from the downscaling CNN
+    _, dn_m, _ = pe.apply(
+        new_vars["prompt"], jnp.asarray(pts), jnp.asarray(labs), jnp.asarray(dmask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(dn_m), o_mask_dense(sd, dmask), atol=5e-4, rtol=1e-3
+    )
+    assert not np.allclose(np.asarray(dn_m), np.asarray(dn))  # differs from no-mask
 
 
 def test_sam_conversion_strict_rejects_partial():
@@ -386,12 +425,12 @@ def test_sam_conversion_strict_rejects_partial():
     key = jax.random.PRNGKey(0)
     pts = jnp.zeros((1, 1, 2))
     labs = jnp.zeros((1, 1), jnp.int32)
+    g = IMG // PATCH
     variables = {
         "encoder": enc.init(key, jnp.zeros((1, IMG, IMG, 3))),
-        "prompt": pe.init(key, pts, labs),
+        "prompt": pe.init(key, pts, labs, jnp.zeros((1, 4 * g, 4 * g, 1))),
     }
     sp, dn, ipe = pe.apply(variables["prompt"], pts, labs)
-    g = IMG // PATCH
     variables["decoder"] = dec.init(key, jnp.zeros((1, g, g, TD)), ipe, sp, dn)
     with pytest.raises(ValueError, match="unfilled"):
         convert_sam_state_dict(sd, variables, strict=True)
@@ -421,9 +460,10 @@ def test_sam_b_fullsize_shape_manifest():
     img = jax.ShapeDtypeStruct((1, 1024, 1024, 3), jnp.float32)
     pts = jax.ShapeDtypeStruct((1, 2, 2), jnp.float32)
     labs = jax.ShapeDtypeStruct((1, 2), jnp.int32)
+    dmask = jax.ShapeDtypeStruct((1, 256, 256, 1), jnp.float32)
     variables = {
         "encoder": jax.eval_shape(enc.init, key, img),
-        "prompt": jax.eval_shape(pe.init, key, pts, labs),
+        "prompt": jax.eval_shape(pe.init, key, pts, labs, dmask),
     }
     sp, dn, ipe = jax.eval_shape(pe.apply, variables["prompt"], pts, labs)
     emb = jax.ShapeDtypeStruct((1, 64, 64, 256), jnp.float32)
@@ -465,6 +505,16 @@ def test_sam_b_fullsize_shape_manifest():
         z(f"prompt_encoder.point_embeddings.{i}.weight", 1, 256)
     z("prompt_encoder.not_a_point_embed.weight", 1, 256)
     z("prompt_encoder.no_mask_embed.weight", 1, 256)
+    z("prompt_encoder.mask_downscaling.0.weight", 4, 1, 2, 2)
+    z("prompt_encoder.mask_downscaling.0.bias", 4)
+    z("prompt_encoder.mask_downscaling.1.weight", 4)
+    z("prompt_encoder.mask_downscaling.1.bias", 4)
+    z("prompt_encoder.mask_downscaling.3.weight", 16, 4, 2, 2)
+    z("prompt_encoder.mask_downscaling.3.bias", 16)
+    z("prompt_encoder.mask_downscaling.4.weight", 16)
+    z("prompt_encoder.mask_downscaling.4.bias", 16)
+    z("prompt_encoder.mask_downscaling.6.weight", 256, 16, 1, 1)
+    z("prompt_encoder.mask_downscaling.6.bias", 256)
     for l in range(2):
         p = f"mask_decoder.transformer.layers.{l}"
         for attn, d in (("self_attn", 256), ("cross_attn_token_to_image", 128),

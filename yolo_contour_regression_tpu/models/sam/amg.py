@@ -55,11 +55,76 @@ def stability_score(masks: np.ndarray, mask_threshold: float, offset: float) -> 
 
 
 def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
-    """(N, H, W) bool -> (N, 4) xyxy; empty masks give zeros."""
+    """(N, H, W) bool -> (N, 4) xyxy; empty masks give zeros (vectorized:
+    row/col any-reductions + argmax from both ends, no per-mask loop)."""
     N, H, W = masks.shape
-    out = np.zeros((N, 4), np.float32)
-    for i, m in enumerate(masks):
-        ys, xs = np.nonzero(m)
-        if len(xs):
-            out[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+    if N == 0:
+        return np.zeros((0, 4), np.float32)
+    rows = masks.any(2)  # (N, H)
+    cols = masks.any(1)  # (N, W)
+    y0 = rows.argmax(1)
+    y1 = H - rows[:, ::-1].argmax(1)
+    x0 = cols.argmax(1)
+    x1 = W - cols[:, ::-1].argmax(1)
+    out = np.stack([x0, y0, x1, y1], -1).astype(np.float32)
+    out[~rows.any(1)] = 0.0
     return out
+
+
+def is_box_near_crop_edge(boxes_xyxy: np.ndarray, crop_box, orig_box,
+                          atol: float = 20.0) -> np.ndarray:
+    """True where a box (full-image coords) touches its crop's edge without
+    also touching the image edge (reference amg.py is_box_near_crop_edge) —
+    those detections are partial objects the next crop sees whole."""
+    crop = np.asarray(crop_box, np.float32)
+    orig = np.asarray(orig_box, np.float32)
+    boxes = np.asarray(boxes_xyxy, np.float32)
+    near_crop = np.abs(boxes - crop[None]) <= atol
+    near_orig = np.abs(boxes - orig[None]) <= atol
+    return (near_crop & ~near_orig).any(1)
+
+
+def nms_boxes(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float) -> np.ndarray:
+    """Greedy box NMS on host (the AMG filter stage works on the dynamic
+    survivor set, so the fixed-shape device NMS in ops/nms.py doesn't fit).
+    Returns kept indices in descending-score order."""
+    if len(boxes) == 0:
+        return np.zeros(0, np.int64)
+    boxes = np.asarray(boxes, np.float32)
+    areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
+    order = np.argsort(-np.asarray(scores))
+    keep = []
+    while len(order):
+        i = order[0]
+        keep.append(i)
+        rest = order[1:]
+        x0 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        y0 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        x1 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        y1 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+        iou = inter / np.maximum(areas[i] + areas[rest] - inter, 1e-9)
+        order = rest[iou <= iou_thresh]
+    return np.asarray(keep, np.int64)
+
+
+def remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str):
+    """Remove sub-threshold connected holes or islands from one bool mask
+    (reference amg.py remove_small_regions). Returns (mask, changed)."""
+    import cv2
+
+    assert mode in ("holes", "islands")
+    invert = mode == "holes"
+    work = (mask ^ invert).astype(np.uint8)
+    n, regions, stats, _ = cv2.connectedComponentsWithStats(work, 8)
+    sizes = stats[1:, -1]  # label 0 is background
+    small = [i + 1 for i, sz in enumerate(sizes) if sz < area_thresh]
+    if not small:
+        return mask.astype(bool), False
+    fill = [0] + small
+    if not invert:
+        # islands mode: if everything is small, keep the largest region
+        fill = [i for i in range(n) if i not in fill] or [int(np.argmax(sizes)) + 1]
+    return np.isin(regions, fill), True

@@ -186,11 +186,16 @@ class PositionEmbeddingRandom(nn.Module):
 class PromptEncoder(nn.Module):
     """Point/box/mask prompts -> sparse + dense embeddings
     (reference encoders.py PromptEncoder). Points carry labels:
-    1 fg, 0 bg, 2/3 box corners, -1 padding."""
+    1 fg, 0 bg, 2/3 box corners, -1 padding. Low-res mask prompts
+    (B, 4h, 4w, 1) logits go through the mask-downscaling CNN
+    (reference encoders.py:151: conv2s2 -> LN -> GELU -> conv2s2 -> LN
+    -> GELU -> conv1x1) to become the dense embedding; without one the
+    learned ``no_mask`` embedding is broadcast instead."""
 
     embed_dim: int = 256
     image_embedding_size: Tuple[int, int] = (64, 64)
     input_image_size: Tuple[int, int] = (1024, 1024)
+    mask_in_chans: int = 16
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -205,9 +210,20 @@ class PromptEncoder(nn.Module):
         self.no_mask = self.param(
             "no_mask_embed", nn.initializers.normal(1.0), (1, self.embed_dim)
         )
+        mic = self.mask_in_chans
+        self.mask_down0 = nn.Conv(
+            mic // 4, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype
+        )
+        self.mask_ln0 = nn.LayerNorm()
+        self.mask_down1 = nn.Conv(
+            mic, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype
+        )
+        self.mask_ln1 = nn.LayerNorm()
+        self.mask_down2 = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype)
 
-    def __call__(self, points, labels):
-        """points (B, P, 2) px, labels (B, P) int -> sparse (B, P, C),
+    def __call__(self, points, labels, masks=None):
+        """points (B, P, 2) px, labels (B, P) int, masks optional
+        (B, 4h, 4w, 1) low-res logits -> sparse (B, P, C),
         dense (B, h, w, C), image_pe (1, h, w, C)."""
         h, w = self.image_embedding_size
         ih, iw = self.input_image_size
@@ -220,9 +236,15 @@ class PromptEncoder(nn.Module):
             )
         emb = jnp.where(labels[..., None] == -1,
                         jnp.zeros_like(emb) + self.not_a_point[0], emb)
-        dense = jnp.broadcast_to(
-            self.no_mask[0][None, None, None, :], (points.shape[0], h, w, self.embed_dim)
-        )
+        if masks is not None:
+            x = _gelu(self.mask_ln0(self.mask_down0(masks)))
+            x = _gelu(self.mask_ln1(self.mask_down1(x)))
+            dense = self.mask_down2(x)
+        else:
+            dense = jnp.broadcast_to(
+                self.no_mask[0][None, None, None, :],
+                (points.shape[0], h, w, self.embed_dim),
+            )
         image_pe = self.pe.grid(h, w)[None]
         return emb, dense, image_pe
 

@@ -268,10 +268,7 @@ def convert_state_dict(
 # models/sam/modules.py)
 # ---------------------------------------------------------------------------
 
-# checkpoint tensors with no counterpart here: mask-prompt downscaling CNN
-# (the flax PromptEncoder supports point/box prompts; dense prompt is the
-# learned no-mask embedding, the only mode the reference predictor exercises)
-_SAM_SKIP = ("prompt_encoder.mask_downscaling",)
+_SAM_SKIP = ()  # every official SAM tensor now has a flax counterpart
 
 
 def _sam_ln(path, leaf, arr):
@@ -322,6 +319,17 @@ def _sam_map_key(key: str, arr: np.ndarray):
             return "prompt", ("not_a_point_embed",), arr
         if rest[0] == "no_mask_embed":
             return "prompt", ("no_mask_embed",), arr
+        if rest[0] == "mask_downscaling":
+            # Sequential indices (reference encoders.py:151): 0/3/6 convs,
+            # 1/4 LayerNorm2d (channel-last LN here, same math in NHWC)
+            idx, leaf = rest[1], rest[2]
+            conv = {"0": "mask_down0", "3": "mask_down1", "6": "mask_down2"}
+            if idx in conv:
+                if leaf == "weight":  # OIHW -> HWIO
+                    return "prompt", (conv[idx], "kernel"), arr.transpose(2, 3, 1, 0)
+                return "prompt", (conv[idx], "bias"), arr
+            name = "mask_ln0" if idx == "1" else "mask_ln1"
+            return ("prompt",) + _sam_ln((name,), leaf, arr)
 
     if sec == "mask_decoder":
         if rest[0] in ("iou_token", "mask_tokens"):
