@@ -102,6 +102,82 @@ def test_tuner_mutation_in_bounds():
             assert lo <= v <= hi
 
 
+def test_ray_tune_gated_without_ray():
+    import pytest
+
+    from yolo_contour_regression_tpu.utils.tuner import run_ray_tune
+
+    with pytest.raises(ImportError, match="evolutionary"):
+        run_ray_tune("yolov8n-seg.yaml", data="x.yaml")
+
+
+def test_ray_tune_with_fake_ray(monkeypatch):
+    """run_ray_tune drives a real Ray surface (reference utils/tuner.py
+    run_ray_tune): default space from SPACE, ASHA on the task metric, one
+    model.train per sampled trial."""
+    import sys
+    import types
+
+    from types import SimpleNamespace
+
+    calls = {"trials": [], "asha": None, "fit": 0}
+
+    class FakeTuner:
+        def __init__(self, trainable, param_space=None, tune_config=None,
+                     run_config=None):
+            self.trainable = trainable
+            self.space = param_space
+            self.n = tune_config.num_samples
+
+        def fit(self):
+            calls["fit"] += 1
+            for i in range(self.n):  # sample mid-range per trial
+                cfg = {
+                    k: (sum(v) / 2 if isinstance(v, tuple) else v)
+                    for k, v in self.space.items()
+                }
+                self.trainable(cfg)
+
+        def get_results(self):
+            return calls["trials"]
+
+    tune = types.ModuleType("ray.tune")
+    tune.uniform = lambda lo, hi: (lo, hi)
+    tune.Tuner = FakeTuner
+    tune.TuneConfig = lambda scheduler=None, num_samples=1: SimpleNamespace(
+        scheduler=scheduler, num_samples=num_samples
+    )
+    sched = types.ModuleType("ray.tune.schedulers")
+
+    def asha(**kw):
+        calls["asha"] = kw
+        return "asha"
+
+    sched.ASHAScheduler = asha
+    air = types.ModuleType("ray.air")
+    air.RunConfig = lambda **kw: kw
+    ray = types.ModuleType("ray")
+    ray.tune = tune
+    for name, mod in (("ray", ray), ("ray.tune", tune),
+                      ("ray.tune.schedulers", sched), ("ray.air", air)):
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    from yolo_contour_regression_tpu.utils.tuner import SPACE, run_ray_tune
+
+    model = SimpleNamespace(
+        task="segment",
+        train=lambda **cfg: calls["trials"].append(cfg),
+    )
+    results = run_ray_tune(model, data="tiny.yaml", max_samples=3, epochs=7)
+    assert calls["fit"] == 1 and len(results) == 3
+    assert calls["asha"]["metric"] == "metrics/mAP50-95(M)"
+    assert calls["asha"]["max_t"] == 7
+    for cfg in results:
+        assert cfg["data"] == "tiny.yaml" and cfg["epochs"] == 7
+        for k, (lo, hi, _) in SPACE.items():
+            assert lo <= cfg[k] <= hi
+
+
 def test_hub_session(tmp_path, monkeypatch):
     import yolo_contour_regression_tpu.hub.session as hs
 

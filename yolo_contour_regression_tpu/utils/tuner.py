@@ -87,14 +87,61 @@ class Tuner:
         return best_hyp, best_fit
 
 
-def run_ray_tune(model, space=None, grace_period: int = 10, max_samples: int = 10, **train_args):
-    """Ray Tune integration (reference utils/tuner.py:run_ray_tune), gated."""
+# per-task fitness metric reported to the scheduler (reference cfg TASK2METRIC)
+TASK2METRIC = {
+    "detect": "metrics/mAP50-95(B)",
+    "segment": "metrics/mAP50-95(M)",
+    "classify": "metrics/accuracy_top1",
+    "pose": "metrics/mAP50-95(P)",
+}
+
+
+def run_ray_tune(model, space=None, grace_period: int = 10,
+                 max_samples: int = 10, storage_path: str = "./runs/tune",
+                 **train_args):
+    """Ray Tune hyperparameter search (reference utils/tuner.py:run_ray_tune):
+    ASHA scheduler over the shared SPACE, one trial = one ``model.train``.
+    SDK-gated like the callback sinks — raises ImportError with the built-in
+    alternative when ray is absent (it is not baked into this image)."""
     try:
-        import ray  # noqa: F401
-        from ray import tune  # noqa: F401
+        from ray import tune
+        from ray.air import RunConfig
+        from ray.tune.schedulers import ASHAScheduler
     except ImportError as e:
         raise ImportError(
             "ray tune is not installed in this environment; use Tuner() for "
             "the built-in evolutionary search"
         ) from e
-    raise NotImplementedError("ray cluster wiring pending a ray-enabled image")
+
+    if not space:
+        space = {k: tune.uniform(lo, hi) for k, (lo, hi, _) in SPACE.items()}
+        LOGGER.warning("search space not provided, using default search space")
+    if "data" not in train_args:
+        raise ValueError("run_ray_tune requires data=<dataset yaml>")
+    space["data"] = train_args.pop("data")
+
+    model_path = getattr(model, "model_path", None) or getattr(model, "ckpt_path", None) or model
+    task = getattr(model, "task", "segment")
+    metric = TASK2METRIC.get(task, "metrics/mAP50-95(M)")
+
+    def _trial(config):
+        # each trial builds its own model: trials are separate workers and a
+        # jitted-program cache must not be shared across processes
+        from ..engine.model import YOLO
+
+        m = model if hasattr(model, "train") else YOLO(model_path)
+        m.train(**{**config, **train_args})
+
+    scheduler = ASHAScheduler(
+        time_attr="epoch", metric=metric, mode="max",
+        max_t=train_args.get("epochs", 100), grace_period=grace_period,
+        reduction_factor=3,
+    )
+    tuner = tune.Tuner(
+        _trial,
+        param_space=space,
+        tune_config=tune.TuneConfig(scheduler=scheduler, num_samples=max_samples),
+        run_config=RunConfig(storage_path=storage_path),
+    )
+    tuner.fit()
+    return tuner.get_results()
