@@ -93,9 +93,10 @@ def test_map_matches_reference_protocol_oracle(tmp_path):
     ))
     # both implementations must agree that the model is good...
     assert oracle["mask_map"] > 0.45 and repo["mask_map"] > 0.45
-    # ...and with each other within protocol noise (multi-label NMS +
-    # raster-resolution differences)
-    assert deltas["box_map"] < 0.03, deltas
-    assert deltas["mask_map"] < 0.03, deltas
-    assert deltas["box_map50"] < 0.03, deltas
-    assert deltas["mask_map50"] < 0.03, deltas
+    # ...and with each other within protocol noise (multi-label NMS; the
+    # val_mask_ratio=1 default rasters at full imgsz like the reference's
+    # fillPoly protocol, so the old 0.016 raster-resolution slack is gone)
+    assert deltas["box_map"] < 0.01, deltas
+    assert deltas["mask_map"] < 0.008, deltas
+    assert deltas["box_map50"] < 0.01, deltas
+    assert deltas["mask_map50"] < 0.008, deltas

@@ -47,6 +47,7 @@ CFG_FRACTION_KEYS = {
 }
 CFG_INT_KEYS = {
     "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio",
+    "val_mask_ratio",
     "max_det", "vid_stride", "workspace", "nbs", "save_period", "max_instances",
     "cand_per_gt", "pre_nms", "save_last_every",
 }

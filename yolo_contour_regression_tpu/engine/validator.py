@@ -340,7 +340,11 @@ class SegmentationValidator(BaseValidator):
         names = getattr(model, "names", {}) or {}
         metrics = SegmentMetrics(names=names)
         cm = ConfusionMatrix(model.nc)
-        mask_ratio = getattr(args, "mask_ratio", 4) or 4
+        # TP matching rasterizes at R = imgsz / val_mask_ratio; 1 (full-res
+        # grid) matches the reference's full-resolution fillPoly protocol
+        # (models/yolo/segment/val.py:226 + utils/metrics.py:133) — the old
+        # mask_ratio=4 shortcut cost 0.016 mask-mAP50-95 vs the oracle
+        mask_ratio = getattr(args, "val_mask_ratio", 1) or 1
         fns = self._wrap_eval_core(
             (id(model), mask_ratio, args.imgsz, args.max_det, args.conf,
              args.iou, getattr(args, "pre_nms", 4096)),
