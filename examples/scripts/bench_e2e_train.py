@@ -30,7 +30,10 @@ def main(imgsz=640, batch=16, steps=40, n_imgs=128):
                    "(engine/step.py make_multi_train_step) — amortizes the "
                    "~650ms tunnel dispatch round-trip; spd=1: one dispatch "
                    "per step; cache='ram': host decode cache + per-step H2D"}
-    (ROOT / "runs" / "e2e_train_bench.json").write_text(json.dumps(rec, indent=2))
+    import os
+
+    out = Path(os.environ.get("E2E_OUT", ROOT / "runs" / "e2e_train_bench.json"))
+    out.write_text(json.dumps(rec, indent=2))
     print(json.dumps(rec))
 
 

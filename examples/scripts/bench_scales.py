@@ -32,9 +32,11 @@ LADDER = {
 }
 
 
-def run_one(model: str) -> dict:
+def run_one(model: str, int8: bool = False) -> dict:
     for batch in LADDER[model]:
         env = dict(os.environ, BENCH_MODEL=model, BENCH_BATCH=str(batch))
+        if int8:
+            env["BENCH_INT8"] = "1"
         try:
             r = subprocess.run(
                 [sys.executable, str(ROOT / "bench.py")],
@@ -52,11 +54,20 @@ def run_one(model: str) -> dict:
 
 
 def main():
-    models = sys.argv[1:] or list(LADDER)
-    rows = [run_one(m) for m in models]
-    rec = {"rows": rows, "note": "e2e pipeline (pre+infer+decode+NMS), fused "
+    # --int8 runs the native w8a8 path; --out writes elsewhere than the
+    # tracked runs/bench_scales.json (so queue waves never clobber it)
+    args = sys.argv[1:]
+    int8 = "--int8" in args
+    out = ROOT / "runs" / ("bench_int8_scales.json" if int8 else "bench_scales.json")
+    if "--out" in args:
+        out = Path(args[args.index("--out") + 1])
+        args = [a for i, a in enumerate(args)
+                if a != "--out" and args[max(i - 1, 0)] != "--out"]
+    models = [a for a in args if not a.startswith("--")] or list(LADDER)
+    rows = [run_one(m, int8=int8) for m in models]
+    rec = {"rows": rows, "int8": int8,
+           "note": "e2e pipeline (pre+infer+decode+NMS), fused "
            "deploy variables, in-graph fori_loop timing (see bench.py)"}
-    out = ROOT / "runs" / "bench_scales.json"
     out.write_text(json.dumps(rec, indent=2))
     print(json.dumps(rec))
 
