@@ -30,6 +30,30 @@ def test_rtdetr_build_and_eval(rtdetr):
     assert (o[..., 4:] >= 0).all() and (o[..., 4:] <= 1).all()
 
 
+def test_rtdetr_head_init_priors(rtdetr):
+    """DETR convergence priors (reference head.py:996-1008
+    _reset_parameters): every score head starts at the 0.01 background
+    prior (bias -4.595) and every bbox-delta MLP's last layer is zeroed so
+    queries begin exactly at their anchors — the r5 overfit-8 diagnostic
+    showed training cannot memorize even 8 images without them."""
+    import math
+
+    m, v = rtdetr
+    params = v["params"]
+    head = next(p for k, p in params.items() if "enc_score_head" in p or "dec_score_head0" in p)
+    prior = -math.log((1 - 0.01) / 0.01)
+    np.testing.assert_allclose(head["enc_score_head"]["bias"], prior, atol=1e-6)
+    i = 0
+    while f"dec_score_head{i}" in head:
+        np.testing.assert_allclose(head[f"dec_score_head{i}"]["bias"], prior, atol=1e-6)
+        last = sorted(k for k in head[f"dec_bbox_head{i}"] if k.startswith("layers"))[-1]
+        assert np.all(np.asarray(head[f"dec_bbox_head{i}"][last]["kernel"]) == 0)
+        i += 1
+    assert i >= 1
+    last = sorted(k for k in head["enc_bbox_head"] if k.startswith("layers"))[-1]
+    assert np.all(np.asarray(head["enc_bbox_head"][last]["kernel"]) == 0)
+
+
 def test_hungarian_assign_unique():
     from yolo_contour_regression_tpu.models.utils.loss import hungarian_assign
 

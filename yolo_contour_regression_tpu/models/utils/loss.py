@@ -147,15 +147,17 @@ def detr_layer_loss(
     B, Q, _ = pred_logits.shape
     n_gt = jnp.maximum(mask_gt.sum(), 1.0)
 
-    # scatter gt classes onto assigned queries
+    # scatter gt classes onto assigned queries; padded gts scatter to the
+    # out-of-range index Q and are dropped (a clip-to-0 scheme lets a padded
+    # gt overwrite a real assignment that landed on query 0)
     assign_safe = jnp.clip(assign, 0, Q - 1)
+    drop_idx = jnp.where(mask_gt, assign_safe, Q)
     onehot_q = jnp.zeros((B, Q), jnp.int32).at[
         jnp.arange(B)[:, None], assign_safe
     ].add(mask_gt.astype(jnp.int32))
     tgt_cls = jnp.full((B, Q), nc, jnp.int32).at[
-        jnp.arange(B)[:, None], assign_safe
-    ].set(jnp.where(mask_gt, gt_labels, nc))
-    fg = (onehot_q > 0) & (tgt_cls < nc)
+        jnp.arange(B)[:, None], drop_idx
+    ].set(gt_labels, mode="drop")
 
     # IoU-aware targets (VFL-style, reference DETRLoss._get_loss_class)
     matched_boxes = jnp.take_along_axis(

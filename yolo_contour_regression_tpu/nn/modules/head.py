@@ -424,7 +424,14 @@ class RTDETRDecoder(nn.Module):
         enc_feats = nn.LayerNorm(name="enc_output_ln")(
             nn.Dense(self.hd, dtype=self.dtype, name="enc_output")(feats_flat * valid_mask)
         )
-        enc_scores_all = nn.Dense(self.nc, dtype=self.dtype, name="enc_score_head")(enc_feats)
+        # score-head bias prior + zero-init bbox deltas (reference
+        # head.py:996-1008 _reset_parameters: bias_init_with_prob(0.01) on
+        # every score head, zeroed last bbox-MLP layer): queries start as
+        # "background at the anchor", which DETR convergence relies on
+        bias_cls = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
+        enc_scores_all = nn.Dense(
+            self.nc, dtype=self.dtype, bias_init=bias_cls, name="enc_score_head"
+        )(enc_feats)
         nq = min(self.nq, enc_scores_all.shape[1])  # tiny-image graceful cap
         topk_val, topk_ind = jax.lax.top_k(enc_scores_all.max(-1), nq)  # (B, nq)
         top_feats = jnp.take_along_axis(enc_feats, topk_ind[..., None], axis=1)
@@ -432,7 +439,8 @@ class RTDETRDecoder(nn.Module):
             jnp.broadcast_to(anchors_logit, (B,) + anchors_logit.shape[1:]),
             topk_ind[..., None], axis=1,
         )
-        refer_logit = MLP(self.hd, 4, 3, dtype=self.dtype, name="enc_bbox_head")(top_feats) + top_anchors
+        refer_logit = MLP(self.hd, 4, 3, zero_last=True, dtype=self.dtype,
+                          name="enc_bbox_head")(top_feats) + top_anchors
         enc_bboxes = nn.sigmoid(refer_logit)
         enc_scores = jnp.take_along_axis(enc_scores_all, topk_ind[..., None], axis=1)
 
@@ -475,11 +483,13 @@ class RTDETRDecoder(nn.Module):
                 name=f"dec_layer{i}",
             )(embed, refer, feats_flat, shapes, attn_mask=attn_mask,
               query_pos=query_pos_head(refer))
-            delta = MLP(self.hd, 4, 3, dtype=self.dtype, name=f"dec_bbox_head{i}")(embed)
+            delta = MLP(self.hd, 4, 3, zero_last=True, dtype=self.dtype,
+                        name=f"dec_bbox_head{i}")(embed)
             refined = nn.sigmoid(delta + inverse_sigmoid(refer))
             # score head applied every layer so train/eval share one param
             # structure (eval keeps only the last; XLA DCEs the rest)
-            score_i = nn.Dense(self.nc, dtype=self.dtype, name=f"dec_score_head{i}")(embed)
+            score_i = nn.Dense(self.nc, dtype=self.dtype, bias_init=bias_cls,
+                               name=f"dec_score_head{i}")(embed)
             if train:
                 dec_scores.append(score_i)
                 dec_bboxes.append(refined)

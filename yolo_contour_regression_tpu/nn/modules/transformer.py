@@ -26,18 +26,27 @@ def inverse_sigmoid(x, eps: float = 1e-5):
 
 
 class MLP(nn.Module):
-    """num_layers-deep ReLU MLP (reference transformer.py:154)."""
+    """num_layers-deep ReLU MLP (reference transformer.py:154).
+
+    ``zero_last`` zero-inits the final layer (weight AND bias) — the
+    reference's RTDETRDecoder._reset_parameters (head.py:1002-1008) does this
+    for every bbox head so boxes start exactly at their anchors / previous
+    layer's refinement; random deltas there measurably slow DETR convergence.
+    """
 
     hidden_dim: int
     output_dim: int
     num_layers: int = 3
+    zero_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers - 1):
             x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"layers{i}")(x))
-        return nn.Dense(self.output_dim, dtype=self.dtype, name=f"layers{self.num_layers - 1}")(x)
+        kw = {"kernel_init": nn.initializers.zeros} if self.zero_last else {}
+        return nn.Dense(self.output_dim, dtype=self.dtype,
+                        name=f"layers{self.num_layers - 1}", **kw)(x)
 
 
 class MLPBlock(nn.Module):
