@@ -271,18 +271,21 @@ def rtdetr_loss(
     totals["l1_loss"] += l1
     totals["giou_loss"] += lg
 
-    n_layers = L + 1
+    # reference DETRLoss sums every aux layer's loss at FULL gain (no 1/L
+    # normalization: _get_aux_loss adds each layer's weighted loss to the
+    # total) — the previous /n_layers here shrank gradients ~7x and was the
+    # main reason the overfit-8 diagnostic could not converge
     items = {
-        "cls_loss": totals["cls_loss"] * gain_class / n_layers,
-        "l1_loss": totals["l1_loss"] * gain_bbox / n_layers,
-        "giou_loss": totals["giou_loss"] * gain_giou / n_layers,
+        "cls_loss": totals["cls_loss"] * gain_class,
+        "l1_loss": totals["l1_loss"] * gain_bbox,
+        "giou_loss": totals["giou_loss"] * gain_giou,
     }
     if dn_q:
         items.update(
             {
-                "dn_cls_loss": dn_totals["dn_cls_loss"] * gain_class / L,
-                "dn_l1_loss": dn_totals["dn_l1_loss"] * gain_bbox / L,
-                "dn_giou_loss": dn_totals["dn_giou_loss"] * gain_giou / L,
+                "dn_cls_loss": dn_totals["dn_cls_loss"] * gain_class,
+                "dn_l1_loss": dn_totals["dn_l1_loss"] * gain_bbox,
+                "dn_giou_loss": dn_totals["dn_giou_loss"] * gain_giou,
             }
         )
     total = sum(items.values())
