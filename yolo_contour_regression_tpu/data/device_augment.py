@@ -107,7 +107,8 @@ def _tile_offsets(yc, xc, content_hw, pads, S):
     return jnp.stack([oy, ox], -1)
 
 
-def _warp_image_separable(tiles, M, yc, xc, offsets, use_mosaic, S):
+def _warp_image_separable(tiles, M, yc, xc, offsets, use_mosaic, S,
+                          dtype=jnp.bfloat16):
     """Fast path of ``_warp_image`` for axis-aligned affines (the DEFAULT
     hyp: degrees=shear=perspective=0, so M is diag(a, a) + translation).
 
@@ -120,6 +121,12 @@ def _warp_image_separable(tiles, M, yc, xc, offsets, use_mosaic, S):
     coverage c of in-tile taps is resampled from a ones-plane and the gray
     border folds in as ``st(tile) + PAD * (1 - c)``; out-of-canvas pixels
     are PAD. Equivalence is pinned by test_device_augment.
+
+    ``dtype`` is the resample compute precision. The dense
+    scale_and_translate weight matmuls are ~17 GFLOP per 640px image — more
+    than the n-model forward — so they default to bf16 (4x the f32 MXU rate,
+    half the HBM): uint8 pixel values up to 255 round to within 1 LSB in
+    bf16, augmentation-grade noise. Pass f32 for the bit-exactness tests.
     """
     a = M[0, 0]  # == M[1, 1] on this path
     bx, by = M[0, 2], M[1, 2]
@@ -140,12 +147,12 @@ def _warp_image_separable(tiles, M, yc, xc, offsets, use_mosaic, S):
     # pixel makes the resample exact there (the coverage term below handles
     # everything further out)
     tiles_p = jnp.pad(
-        tiles.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)),
+        tiles.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)),
         constant_values=PAD_VALUE,
     )
     # coverage over the PADDED extent (the ring is materialized, so it
     # counts as covered; only weight falling beyond S+2 turns into PAD)
-    ones_p = jnp.ones((S + 2, S + 2, 1), jnp.float32)
+    ones_p = jnp.ones((S + 2, S + 2, 1), dtype)
     planes = []
     for t in range(4):
         # output o samples tile coord s = (o - b)/a - off, while
