@@ -6,7 +6,11 @@ matching/CDN/loss path is broken rather than data-starved.
 
 Writes runs/diag_rtdetr_overfit.json.
 
-Usage: python examples/scripts/diag_rtdetr_overfit.py [epochs] [imgsz] [lr0]
+Usage: python examples/scripts/diag_rtdetr_overfit.py [epochs] [imgsz] [lr0] [tag] [--noaug]
+
+``tag`` names the run dir and artifact (runs/diag_rtdetr_overfit_<tag>.json)
+so experiment ladders don't clobber each other; ``--noaug`` zeroes every
+geometric/photometric augmentation for a pure memorization test.
 """
 import json
 import sys
@@ -16,13 +20,17 @@ ROOT = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "tests"))
 
+NOAUG = dict(hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, translate=0.0, scale=0.0,
+             fliplr=0.0, flipud=0.0, degrees=0.0)
 
-def main(epochs=300, imgsz=96, lr0=2e-4, out=None):
+
+def main(epochs=300, imgsz=96, lr0=2e-4, out=None, tag="", noaug=False):
     from helpers import make_shape_dataset
 
     from yolo_contour_regression_tpu.engine.model import YOLO
 
-    out = Path(out or ROOT / "runs" / "diag_rtdetr_overfit")
+    suffix = f"_{tag}" if tag else ""
+    out = Path(out or ROOT / "runs" / f"diag_rtdetr_overfit{suffix}")
     ds_root = out / "dataset"
     yaml_path = make_shape_dataset(ds_root, n_train=8, n_val=8, imgsz=imgsz, seed=0)
     # overfit protocol: validate on the training images themselves
@@ -39,6 +47,7 @@ def main(epochs=300, imgsz=96, lr0=2e-4, out=None):
         mosaic=0.0, close_mosaic=0, mixup=0.0,
         project=str(out), name="train", exist_ok=True,
         patience=max(epochs, 50), plots=False, save_last_every=100,
+        **(NOAUG if noaug else {}),
     )
     final = m.val(data=str(yaml_path), task="rtdetr", imgsz=imgsz, batch=8,
                   project=str(out))
@@ -47,9 +56,9 @@ def main(epochs=300, imgsz=96, lr0=2e-4, out=None):
         "train_metrics": {k: float(v) for k, v in metrics.items()},
         "overfit_val": {k: float(v) for k, v in final.items()},
         "config": {"epochs": epochs, "imgsz": imgsz, "lr0": lr0, "n": 8,
-                   "model": "yolov8n-rtdetr.yaml", "seed": 0},
+                   "model": "yolov8n-rtdetr.yaml", "seed": 0, "noaug": noaug},
     }
-    (ROOT / "runs" / "diag_rtdetr_overfit.json").write_text(
+    (ROOT / "runs" / f"diag_rtdetr_overfit{suffix}.json").write_text(
         json.dumps(record, indent=2)
     )
     print(json.dumps(record["overfit_val"]))
@@ -57,7 +66,9 @@ def main(epochs=300, imgsz=96, lr0=2e-4, out=None):
 
 
 if __name__ == "__main__":
-    a = sys.argv[1:]
+    a = [x for x in sys.argv[1:] if x != "--noaug"]
     main(epochs=int(a[0]) if a else 300,
          imgsz=int(a[1]) if len(a) > 1 else 96,
-         lr0=float(a[2]) if len(a) > 2 else 2e-4)
+         lr0=float(a[2]) if len(a) > 2 else 2e-4,
+         tag=a[3] if len(a) > 3 else "",
+         noaug="--noaug" in sys.argv[1:])
