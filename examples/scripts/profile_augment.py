@@ -35,8 +35,8 @@ def main(batch=16, imgsz=640, iters=30):
     n_max = 16
     aug = make_augment_fn(hyp, imgsz, max_instances=n_max)
     rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), np.uint8))
     raw = {
-        "img": jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), np.uint8)),
         "cls": jnp.zeros((batch, n_max), jnp.int32),
         "bboxes": jnp.asarray(
             rng.uniform(0.3, 0.6, (batch, n_max, 4)).astype(np.float32)),
@@ -48,26 +48,27 @@ def main(batch=16, imgsz=640, iters=30):
     }
 
     @jax.jit
-    def step(key, raw):
-        out = aug(key, raw)
-        return sum(jnp.asarray(v, jnp.float32).sum() for v in out.values())
+    def step(key, images, raw):
+        imgs, out = aug(key, images, raw)
+        return (jnp.asarray(imgs, jnp.float32).sum()
+                + sum(jnp.asarray(v, jnp.float32).sum() for v in out.values()))
 
     key = jax.random.PRNGKey(0)
-    acc = step(key, raw)
+    acc = step(key, images, raw)
     jax.block_until_ready(acc)
 
     import time
 
     t0 = time.perf_counter()
     for i in range(iters):
-        acc = step(jax.random.fold_in(key, i), raw)
+        acc = step(jax.random.fold_in(key, i), images, raw)
     jax.block_until_ready(acc)
     wall_ms = (time.perf_counter() - t0) / iters * 1e3
 
     tdir = ROOT / "runs" / "profile_augment_trace"
     with jax.profiler.trace(str(tdir)):
         for i in range(iters):
-            acc = step(jax.random.fold_in(key, i), raw)
+            acc = step(jax.random.fold_in(key, i), images, raw)
         jax.block_until_ready(acc)
 
     traces = sorted(glob.glob(str(tdir / "**" / "*.trace.json.gz"), recursive=True))
