@@ -85,10 +85,11 @@ def measure(batch: int) -> dict:
         calib = np.random.default_rng(1).uniform(
             0, 255.0 if fold_pre else 1.0, (2, imgsz, imgsz, 3)
         )
+        selective = os.environ["BENCH_INT8"].lower() in ("auto", "selective")
         variables, model = quantize_variables(
-            model, variables, [calib.astype(np.float32)]
+            model, variables, [calib.astype(np.float32)], selective=selective
         )
-        model_name += "-int8"
+        model_name += "-int8auto" if selective else "-int8"
 
     # pipeline variants, newest first (BENCH_PIPE = topk|parts|full|lazy):
     #   topk: filter-before-decode — candidates selected on raw class logits,

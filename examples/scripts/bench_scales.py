@@ -32,11 +32,14 @@ LADDER = {
 }
 
 
-def run_one(model: str, int8: bool = False) -> dict:
+def run_one(model: str, int8: str = "") -> dict:
+    """int8: "" = bf16, "1" = full w8a8, "auto" = selective (nn/quant.py
+    int8_wins: only the deep/narrow layers where the micro-bench says the
+    int8 composition beats bf16)."""
     for batch in LADDER[model]:
         env = dict(os.environ, BENCH_MODEL=model, BENCH_BATCH=str(batch))
         if int8:
-            env["BENCH_INT8"] = "1"
+            env["BENCH_INT8"] = int8
         try:
             r = subprocess.run(
                 [sys.executable, str(ROOT / "bench.py")],
@@ -57,8 +60,11 @@ def main():
     # --int8 runs the native w8a8 path; --out writes elsewhere than the
     # tracked runs/bench_scales.json (so queue waves never clobber it)
     args = sys.argv[1:]
-    int8 = "--int8" in args
-    out = ROOT / "runs" / ("bench_int8_scales.json" if int8 else "bench_scales.json")
+    int8 = "auto" if "--int8auto" in args else ("1" if "--int8" in args else "")
+    out = ROOT / "runs" / (
+        "bench_int8auto_scales.json" if int8 == "auto"
+        else "bench_int8_scales.json" if int8 else "bench_scales.json"
+    )
     if "--out" in args:
         out = Path(args[args.index("--out") + 1])
         args = [a for i, a in enumerate(args)

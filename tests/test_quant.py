@@ -170,3 +170,43 @@ def test_refuse_requantize_guards(tmp_path):
         m.quantize(calib)
     with pytest.raises(RuntimeError, match="int8"):
         m.export(format="onnx")
+
+
+def test_selective_quantization_quantizes_only_deep_layers():
+    """selective=True converts only convs where the on-chip micro-bench says
+    int8 beats bf16 (cin >= 128, nn/quant.py int8_wins); everything else
+    keeps its f32 kernel, and the mixed model still runs."""
+    import jax.numpy as jnp
+
+    from yolo_contour_regression_tpu.engine.model import YOLO
+
+    rng = np.random.default_rng(5)
+    calib = [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)]
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+
+    m = YOLO("yolov8s-seg.yaml")  # s-scale so cin>=128 layers exist at 64px
+    m._ensure_variables(64)
+    m.quantize(calib, selective=True)
+
+    n_int8 = n_f32 = 0
+
+    def walk(node):
+        nonlocal n_int8, n_f32
+        if isinstance(node, dict):
+            if "kernel" in node:
+                k = node["kernel"]
+                if k.dtype == jnp.int8:
+                    n_int8 += 1
+                    assert k.shape[2] >= 128, (
+                        f"selective mode quantized a cin={k.shape[2]} conv"
+                    )
+                else:
+                    n_f32 += 1
+            for v in node.values():
+                walk(v)
+
+    walk(m.variables["params"])
+    assert n_int8 > 0, "no deep layers quantized"
+    assert n_f32 > 0, "selective mode quantized everything"
+    y = np.asarray(m.model.predict(m.variables, x))
+    assert np.isfinite(y).all()

@@ -313,11 +313,16 @@ class YOLO:
         self.variables, self.model = fuse_variables(self.model, self.variables)
         return self
 
-    def quantize(self, calib_batches):
+    def quantize(self, calib_batches, selective: bool = False):
         """Native w8a8 int8 PTQ for deploy (nn/quant.py): fuses first if
         needed, calibrates input scales on ``calib_batches`` (iterable of
         (B, H, W, 3) float arrays in [0, 1]), and swaps in int8 conv kernels
-        that run on the MXU int8 path. Inference-only afterwards."""
+        that run on the MXU int8 path. Inference-only afterwards.
+
+        ``selective=True`` quantizes only the layers where the on-chip
+        micro-bench says the int8 composition beats bf16 (deep/narrow
+        layers; nn/quant.py int8_wins) — the fastest mixed-precision deploy
+        on v5e, and strictly less quantization error than full int8."""
         from ..nn.quant import quantize_variables
 
         self._ensure_variables()
@@ -330,7 +335,7 @@ class YOLO:
         if not getattr(self.model, "deploy", False):
             self.fuse()
         self.variables, self.model = quantize_variables(
-            self.model, self.variables, calib_batches
+            self.model, self.variables, calib_batches, selective=selective
         )
         return self
 

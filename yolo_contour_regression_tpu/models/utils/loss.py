@@ -141,7 +141,7 @@ def match_cost(
 
 def detr_layer_loss(
     pred_boxes, pred_logits, gt_boxes, gt_labels, mask_gt, assign,
-    nc: int, alpha: float = 0.25, gamma: float = 2.0,
+    nc: int, alpha: float = 0.75, gamma: float = 2.0,
 ):
     """One decoder layer's losses given the (B, G) gt->query assignment."""
     B, Q, _ = pred_logits.shape
@@ -167,14 +167,16 @@ def detr_layer_loss(
     iou_q = jnp.zeros((B, Q)).at[jnp.arange(B)[:, None], assign_safe].add(
         jnp.where(mask_gt, jnp.clip(iou_g, 0, 1), 0.0)
     )
-    t_onehot = jax.nn.one_hot(tgt_cls, nc) * iou_q[..., None]
+    onehot = jax.nn.one_hot(tgt_cls, nc)
+    t_score = onehot * iou_q[..., None]
     prob = jax.nn.sigmoid(pred_logits)
-    # varifocal loss
-    weight = jnp.where(
-        t_onehot > 0, t_onehot, alpha * (prob**gamma)
-    )
+    # varifocal loss (reference utils/loss.py:22 VarifocalLoss.forward):
+    # weight = alpha*p^gamma on the LABEL one-hot's complement (alpha=0.75),
+    # gt_score on the label slot — a matched query with IoU 0 gets weight 0
+    # there, not a background penalty
+    weight = alpha * (prob**gamma) * (1 - onehot) + t_score * onehot
     bce = -(
-        t_onehot * jnp.log(prob + 1e-8) + (1 - t_onehot) * jnp.log(1 - prob + 1e-8)
+        t_score * jnp.log(prob + 1e-8) + (1 - t_score) * jnp.log(1 - prob + 1e-8)
     )
     loss_cls = (bce * weight).sum() / n_gt
 
@@ -188,7 +190,7 @@ def detr_layer_loss(
 
 def detr_dn_layer_loss(
     pb, pl, gt_boxes, gt_labels, mask_gt, nc: int,
-    alpha: float = 0.25, gamma: float = 2.0,
+    alpha: float = 0.75, gamma: float = 2.0,
 ):
     """Denoising losses for one layer with the KNOWN dn->gt assignment
     (reference get_dn_match_indices, models/utils/ops.py:236): dn query
@@ -203,15 +205,21 @@ def detr_dn_layer_loss(
     pos_b, pos_l = pb[:, :, 0], pl[:, :, 0]
     neg_l = pl[:, :, 1]
     iou = jnp.clip(bbox_iou(xywh2xyxy(pos_b), xywh2xyxy(gt_b), xywh=False), 0, 1)
-    t_pos = jax.nn.one_hot(gt_c, nc) * (iou * m)[..., None]
+    onehot_pos = jax.nn.one_hot(gt_c, nc) * m[..., None]
+    t_pos = onehot_pos * iou[..., None]
 
-    def vfl(logits, t):
+    def vfl(logits, t, onehot):
+        # reference VarifocalLoss (utils/loss.py:22): alpha=0.75 on the
+        # label complement, the IoU score on the label slot
         prob = jax.nn.sigmoid(logits)
-        weight = jnp.where(t > 0, t, alpha * (prob**gamma))
+        weight = alpha * (prob**gamma) * (1 - onehot) + t * onehot
         bce = -(t * jnp.log(prob + 1e-8) + (1 - t) * jnp.log(1 - prob + 1e-8))
         return (bce * weight).sum()
 
-    loss_cls = (vfl(pos_l, t_pos) + vfl(neg_l, jnp.zeros_like(t_pos))) / n_gt
+    loss_cls = (
+        vfl(pos_l, t_pos, onehot_pos)
+        + vfl(neg_l, jnp.zeros_like(t_pos), jnp.zeros_like(onehot_pos))
+    ) / n_gt
     loss_l1 = (jnp.abs(pos_b - gt_b).sum(-1) * m).sum() / n_gt
     giou = bbox_iou(xywh2xyxy(pos_b), xywh2xyxy(gt_b), xywh=False, GIoU=True)
     loss_giou = ((1.0 - giou) * m).sum() / n_gt

@@ -115,7 +115,15 @@ def deploy_conv(mod: nn.Module, x, c2: int, k: int, s: int, p: int, g: int = 1,
     cal = _QCAL.get()
     if cal is not None:
         key = "/".join(mod.path)
-        cal[key] = max(cal.get(key, 0.0), float(jnp.max(jnp.abs(x))))
+        prev = cal.get(key, {}).get("absmax", 0.0) if isinstance(cal.get(key), dict) else 0.0
+        cal[key] = {
+            "absmax": max(prev, float(jnp.max(jnp.abs(x)))),
+            # layer-shape features for the selective int8 predicate
+            # (nn/quant.py: the micro-bench says the quant epilogue only
+            # pays for itself on deep/narrow layers)
+            "h": int(x.shape[1]), "w": int(x.shape[2]),
+            "cin": int(c1), "cout": int(c2), "groups": int(g),
+        }
     dn = ("NHWC", "HWIO", "NHWC")
     pad = [(p, p), (p, p)]
     if in_quant_mode() and w_scale is not None and kernel.dtype == jnp.int8:

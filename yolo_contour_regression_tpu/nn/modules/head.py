@@ -477,6 +477,7 @@ class RTDETRDecoder(nn.Module):
 
         dec_bboxes, dec_scores = [], []
         query_pos_head = MLP(2 * self.hd, self.hd, 2, dtype=self.dtype, name="query_pos_head")
+        last_refined = None
         for i in range(self.ndl):
             embed = DeformableTransformerDecoderLayer(
                 self.hd, self.nh, self.d_ffn, nl, self.ndp, dtype=self.dtype,
@@ -492,7 +493,18 @@ class RTDETRDecoder(nn.Module):
                                name=f"dec_score_head{i}")(embed)
             if train:
                 dec_scores.append(score_i)
-                dec_bboxes.append(refined)
+                # iterative-refinement gradient chaining (reference
+                # transformer.py DeformableTransformerDecoder.forward): aux
+                # box i>0 re-derives from the UNdetached previous refinement,
+                # so layer i's box loss also trains layer i-1's bbox head;
+                # only the refer fed forward is detached
+                if i == 0:
+                    dec_bboxes.append(refined)
+                else:
+                    dec_bboxes.append(
+                        nn.sigmoid(delta + inverse_sigmoid(last_refined))
+                    )
+                last_refined = refined
                 refer = jax.lax.stop_gradient(refined)
             else:
                 if i == self.ndl - 1:

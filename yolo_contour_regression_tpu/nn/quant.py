@@ -48,14 +48,29 @@ def calibrate(deploy_model, variables, calib_batches: Iterable) -> Dict[str, flo
     return cal
 
 
-def quantize_tree(params: Dict, cal: Dict[str, float]) -> Tuple[Dict, int, int]:
+def int8_wins(info: Dict) -> bool:
+    """Selective-quantization predicate from the on-chip micro-bench
+    (runs/bench_int8_micro.json): the int8 deploy composition (quantize ->
+    s8 conv -> dequantize) only beats bf16 on deep/narrow layers — 1.3-1.6x
+    at 40x40x128 / 20x20x256 — and LOSES on wide spatial layers whose
+    bandwidth-bound convs can't amortize the VPU epilogue. Channel depth is
+    the discriminating feature on the measured ladder."""
+    return info.get("cin", 0) >= 128
+
+
+def quantize_tree(params: Dict, cal: Dict, selective: bool = False) -> Tuple[Dict, int, int]:
     """Return a copy of the fused param tree with int8 kernels + scales for
-    every calibrated conv; (tree, n_quantized, n_skipped)."""
+    every calibrated conv; (tree, n_quantized, n_skipped). With
+    ``selective=True`` only layers where ``int8_wins`` says the int8
+    composition is faster than bf16 are converted."""
     import copy
 
     out = copy.deepcopy(params)
     n_q = n_skip = 0
-    for key, absmax in cal.items():
+    for key, info in cal.items():
+        if not isinstance(info, dict):  # legacy float absmax
+            info = {"absmax": float(info)}
+        absmax = info["absmax"]
         node = out
         for part in (p for p in key.split("/") if p):  # "" = top-level module
             node = node[part]
@@ -63,6 +78,9 @@ def quantize_tree(params: Dict, cal: Dict[str, float]) -> Tuple[Dict, int, int]:
         kernel = np.asarray(conv["kernel"], np.float32)
         if kernel.shape[2] == 1 and kernel.shape[3] > 1:
             # depthwise (in-channels-per-group == 1): VPU work, skip
+            n_skip += 1
+            continue
+        if selective and not int8_wins(info):
             n_skip += 1
             continue
         w_scale = np.maximum(
@@ -98,15 +116,20 @@ def as_quantized_model(model):
     return q_model
 
 
-def quantize_variables(deploy_model, variables, calib_batches: Iterable):
+def quantize_variables(deploy_model, variables, calib_batches: Iterable,
+                       selective: bool = False):
     """(fused model, {params}, batches) -> ({params}, quantized model).
 
     The returned model's raw_forward runs inside ``quant_mode`` (on top of
     deploy mode), so every conv whose scope carries an int8 kernel takes the
-    MXU int8 path. Unquantized scopes (depthwise, heads) run unchanged."""
+    MXU int8 path. Unquantized scopes (depthwise, heads, and — with
+    ``selective=True`` — wide spatial layers where the measured int8
+    composition loses to bf16) run unchanged."""
     from ..utils import LOGGER
 
     cal = calibrate(deploy_model, variables, calib_batches)
-    qparams, n_q, n_skip = quantize_tree(variables["params"], cal)
-    LOGGER.info(f"quantized {n_q} convs to int8 ({n_skip} depthwise kept f32)")
+    qparams, n_q, n_skip = quantize_tree(variables["params"], cal,
+                                         selective=selective)
+    LOGGER.info(f"quantized {n_q} convs to int8 ({n_skip} kept f32"
+                f"{' — selective mode' if selective else ', depthwise'})")
     return {"params": qparams}, as_quantized_model(deploy_model)
