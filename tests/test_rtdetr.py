@@ -229,3 +229,78 @@ def test_rtdetr_fuse_parity():
     fv, fm = fuse_variables(m, v)
     got = fm.predict(fv, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_vfl_matches_reference_formula():
+    """detr_layer_loss's class term == the reference VarifocalLoss math
+    (utils/loss.py:22: weight = 0.75*p^2*(1-onehot) + iou*onehot, BCE against
+    the IoU-scaled one-hot, summed / num_gts) on a hand-built assignment."""
+    from yolo_contour_regression_tpu.models.utils.loss import detr_layer_loss
+    from yolo_contour_regression_tpu.ops.boxes import bbox_iou, xywh2xyxy
+
+    rng = np.random.default_rng(7)
+    B, Q, G, nc = 2, 6, 3, 4
+    pred_boxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, Q, 4)), jnp.float32)
+    pred_logits = jnp.asarray(rng.normal(0, 1, (B, Q, nc)), jnp.float32)
+    gt_boxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, G, 4)), jnp.float32)
+    gt_labels = jnp.asarray(rng.integers(0, nc, (B, G)), jnp.int32)
+    mask_gt = jnp.asarray([[True, True, False], [True, False, False]])
+    assign = jnp.asarray([[0, 3, -1], [5, -1, -1]], jnp.int32)
+
+    lc, _, _ = detr_layer_loss(
+        pred_boxes, pred_logits, gt_boxes, gt_labels, mask_gt, assign, nc
+    )
+
+    # independent numpy oracle of the reference formula
+    p = 1.0 / (1.0 + np.exp(-np.asarray(pred_logits)))
+    onehot = np.zeros((B, Q, nc))
+    gt_score = np.zeros((B, Q, nc))
+    n_gt = 0
+    for b in range(B):
+        for g in range(G):
+            if not bool(mask_gt[b, g]):
+                continue
+            q = int(assign[b, g])
+            iou = float(
+                bbox_iou(
+                    xywh2xyxy(pred_boxes[b, q]), xywh2xyxy(gt_boxes[b, g]),
+                    xywh=False,
+                )
+            )
+            c = int(gt_labels[b, g])
+            onehot[b, q, c] = 1.0
+            gt_score[b, q, c] = max(iou, 0.0)
+            n_gt += 1
+    w = 0.75 * p**2 * (1 - onehot) + gt_score * onehot
+    bce = -(gt_score * np.log(p + 1e-8) + (1 - gt_score) * np.log(1 - p + 1e-8))
+    expect = (w * bce).sum() / n_gt
+    np.testing.assert_allclose(float(lc), expect, rtol=1e-5)
+
+
+def test_decoder_refinement_chain_gradient():
+    """The reference's iterative-refinement chaining (transformer.py decoder
+    loop): layer i>0's aux box keeps a gradient path through layer i-1's
+    bbox head (via the UNdetached last_refined_bbox), while the refer fed
+    forward is detached. Regression-pins the r5 fix."""
+    from yolo_contour_regression_tpu.nn.modules.head import RTDETRDecoder
+
+    dec = RTDETRDecoder(nc=3, hd=32, nq=8, ndl=2, nh=2, d_ffn=32)
+    feats = [jnp.ones((1, 4, 4, 16)), jnp.ones((1, 2, 2, 16))]
+    v = dec.init(jax.random.PRNGKey(0), feats, train=True)
+
+    def loss_of_layer1_boxes(params):
+        (dec_bboxes, _, _, _), _ = dec.apply(
+            {"params": params, "batch_stats": v.get("batch_stats", {})},
+            feats, train=True, mutable=["batch_stats"],
+        )
+        return (dec_bboxes[1] ** 2).sum()  # ONLY the second layer's aux box
+
+    grads = jax.grad(loss_of_layer1_boxes)(v["params"])
+    g0 = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree_util.tree_leaves(grads["dec_bbox_head0"])
+    )
+    assert g0 > 0, (
+        "layer-1 aux box loss must backprop into layer-0's bbox head "
+        "(undetached last_refined chain)"
+    )
