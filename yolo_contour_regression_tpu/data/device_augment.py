@@ -83,7 +83,10 @@ def hsv_jitter(img, key, hgain, sgain, vgain):
     """Multiplicative HSV gains, hue wraps (reference augment.py:511: LUTs
     hue*r%180, clip(sat*r), clip(val*r)). img (..., 3) RGB in [0,1]."""
     r = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
-    r = r * jnp.asarray([hgain, sgain, vgain]) + 1.0
+    # keep the whole-image math in the image's dtype (bf16 on the warp
+    # path): a silent f32 promotion here doubles the HBM traffic of every
+    # full-image pass
+    r = (r * jnp.asarray([hgain, sgain, vgain]) + 1.0).astype(img.dtype)
     h, s, v = rgb_to_hsv(img)
     h = (h * r[0]) % 1.0
     s = jnp.clip(s * r[1], 0.0, 1.0)
@@ -441,7 +444,8 @@ def augment_batch(key, batch: Dict[str, jnp.ndarray], hyp, imgsz: int,
     p_mix = float(getattr(hyp, "mixup", 0.0) or 0.0)
     if p_mix > 0:
         do_mix = jax.random.uniform(k_mix, (B,)) < p_mix
-        r = jax.random.beta(k_mixr, 32.0, 32.0, (B,))
+        # img.dtype (bf16 on the warp path) — see hsv_jitter's cast note
+        r = jax.random.beta(k_mixr, 32.0, 32.0, (B,)).astype(img.dtype)
         pidx = jax.random.randint(k_mixp, (B,), 0, B)
         img = jnp.where(
             do_mix[:, None, None, None],
