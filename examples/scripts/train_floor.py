@@ -64,7 +64,10 @@ TASKS = {
 def main(task="segment", epochs=150, imgsz=96, n_train=64, n_val=16, out=None):
     model_yaml, make_ds, floor_keys = TASKS[task]
     suffix = "" if task == "segment" else f"_{task}"
-    out = Path(out or ROOT / "runs" / f"floor{suffix}")
+    # resolve(): a relative --out would otherwise produce a relative dataset
+    # yaml `path:`, which the loader joins onto the yaml's own directory —
+    # duplicating the prefix (the r5b floor192 failure)
+    out = Path(out or ROOT / "runs" / f"floor{suffix}").resolve()
     ds_root = out / "dataset"
     if task == "classify":
         make_cls_dataset(ds_root, n_train=n_train, n_val=n_val, imgsz=imgsz, seed=0)
