@@ -20,10 +20,14 @@ import numpy as np
 def main(imgsz=640, batch=16, steps=40, n_imgs=128):
     rows = [run_one(imgsz, batch, steps, n_imgs, cache, spd)
             for cache, spd in (("device", 8), ("device", 1), ("ram", 1))]
+    # prebatch_augment A/B: one vectorized K*B augment before the scan
+    # instead of K in-scan augments (engine/step.py make_multi_train_step)
+    rows.append(run_one(imgsz, batch, steps, n_imgs, "device", 8, prebatch=True))
     # realistic large-batch training point: the fused step amortizes decode/
     # assigner fixed costs over 4x the images (bench_train.py measures the
     # pure step only at 16)
     rows.append(run_one(imgsz, 64, steps, n_imgs, "device", 8))
+    rows.append(run_one(imgsz, 64, steps, n_imgs, "device", 8, prebatch=True))
     rec = {"rows": rows,
            "note": "cache='device' + steps_per_dispatch=8: lax.scan of 8 "
                    "optimizer steps per device call over the HBM image pool "
@@ -37,7 +41,8 @@ def main(imgsz=640, batch=16, steps=40, n_imgs=128):
     print(json.dumps(rec))
 
 
-def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1):
+def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1,
+            prebatch=False):
     from tests.helpers import make_shape_dataset
     from yolo_contour_regression_tpu.cfg import get_cfg
     from yolo_contour_regression_tpu.data.build import build_dataloader, build_yolo_dataset
@@ -74,7 +79,8 @@ def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1):
     if spd > 1:
         # multi-step-per-dispatch (trainer 'steps_per_dispatch' path)
         multi_fn = make_multi_train_step(model, tx, cfg, cand=128,
-                                         augment_fn=aug_fn, donate=True)
+                                         augment_fn=aug_fn, donate=True,
+                                         prebatch_augment=prebatch)
         sup = loader.superbatches(spd)
 
         def run(n):
@@ -112,6 +118,7 @@ def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1):
     rec = {
         "cache": cache,
         "steps_per_dispatch": spd,
+        "prebatch_augment": prebatch,
         "imgs_per_sec": round(imgs_per_sec, 1),
         "ms_per_step": round(dt / n_done * 1e3, 1),
         "batch": batch, "imgsz": imgsz, "steps": n_done,

@@ -238,3 +238,79 @@ def test_trainer_multistep_stacked_e2e(ds_yaml, tmp_path):
     assert m.trainer.used_multistep
     assert "metrics/mAP50-95(M)" in metrics
     assert (m.trainer.wdir / "last.ckpt").exists()
+
+
+@pytest.mark.slow
+def test_multistep_prebatch_augment():
+    """prebatch_augment=True: ONE vectorized K*B augment before the scan.
+    Shapes/labels contract matches the in-scan path, losses are finite, the
+    state advances K steps, and with augmentation effectively disabled
+    (p=0 everywhere, scale=0) the two variants are numerically identical."""
+    from yolo_contour_regression_tpu.data.device_augment import make_augment_fn
+    from yolo_contour_regression_tpu.engine.step import (
+        init_train_state,
+        make_multi_train_step,
+    )
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.utils.optim import build_optimizer
+
+    imgsz, nc, n_max, B, K, P = 64, 3, 4, 2, 3, 8
+    model = build_model("yolov8-seg.yaml", nc=nc)
+    variables = model.init(imgsz=imgsz)
+
+    def hyp_of(**aug):
+        base = dict(
+            lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=0.0005,
+            warmup_epochs=0.0, warmup_momentum=0.8, warmup_bias_lr=0.1,
+            box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0,
+            epochs=1, optimizer="SGD", cos_lr=False, batch=B, nbs=B, nc=nc,
+        )
+        base.update(aug)
+        return SimpleNamespace(**base)
+
+    rng = np.random.default_rng(7)
+    pool = jnp.asarray(rng.integers(0, 255, (P, imgsz, imgsz, 3), np.uint8))
+    t = np.linspace(0, 2 * math.pi, 360, endpoint=False)
+    contour = np.stack([0.5 + 0.2 * np.cos(t), 0.5 + 0.2 * np.sin(t)], -1)
+    idxs = jnp.asarray(rng.integers(0, P, (K, B)).astype(np.int32))
+    labels = {
+        "cls": np.ones((K, B, n_max), np.int32),
+        "bboxes": np.tile(np.array([0.5, 0.5, 0.4, 0.4], np.float32),
+                          (K, B, n_max, 1)),
+        "segments": np.tile(contour.astype(np.float32), (K, B, n_max, 1, 1)),
+        "mask_gt": np.zeros((K, B, n_max), bool),
+        "content_hw": np.full((K, B, 2), imgsz, np.float32),
+        "pad_tl": np.zeros((K, B, 2), np.float32),
+    }
+    labels["mask_gt"][:, :, 0] = True
+    labels = {k: jnp.asarray(v) for k, v in labels.items()}
+
+    # --- real augmentation: contract + trainability ----------------------
+    hyp = hyp_of(mosaic=1.0, mixup=0.5, degrees=0.0, translate=0.1, scale=0.3,
+                 shear=0.0, perspective=0.0, hsv_h=0.015, hsv_s=0.7,
+                 hsv_v=0.4, fliplr=0.5, flipud=0.0)
+    aug = make_augment_fn(hyp, imgsz, max_instances=8, mesh=None)
+    tx = build_optimizer(variables["params"], hyp, steps_per_epoch=K, iterations=K)
+    multi = make_multi_train_step(model, tx, hyp, cand=32, donate=False,
+                                  augment_fn=aug, aug_seed=0,
+                                  prebatch_augment=True)
+    state = init_train_state(variables, tx)
+    new_state, sm = multi(state, pool, idxs, labels)
+    losses = np.asarray(sm["loss"])
+    assert losses.shape == (K,) and np.isfinite(losses).all()
+    assert int(new_state.step) == K
+
+    # --- augmentation a no-op: prebatch == in-scan bit-for-bit -----------
+    hyp0 = hyp_of(mosaic=0.0, mixup=0.0, degrees=0.0, translate=0.0,
+                  scale=0.0, shear=0.0, perspective=0.0, hsv_h=0.0,
+                  hsv_s=0.0, hsv_v=0.0, fliplr=0.0, flipud=0.0)
+    aug0 = make_augment_fn(hyp0, imgsz, max_instances=8, mesh=None)
+    tx0 = build_optimizer(variables["params"], hyp0, steps_per_epoch=K, iterations=K)
+    outs = []
+    for pre in (False, True):
+        fn = make_multi_train_step(model, tx0, hyp0, cand=32, donate=False,
+                                   augment_fn=aug0, aug_seed=0,
+                                   prebatch_augment=pre)
+        st, m_ = fn(init_train_state(variables, tx0), pool, idxs, labels)
+        outs.append((st, np.asarray(m_["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4)

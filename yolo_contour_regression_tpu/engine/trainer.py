@@ -302,23 +302,40 @@ class BaseTrainer:
                     stack_pad = b
                     break
 
+        # prebatch augmentation: one vectorized K*B augment per dispatch
+        # instead of K in-scan augments (better utilization of the augment's
+        # small ops). Transient HBM ~= the (K*B, 4, S, S, 3) uint8 tile
+        # stack; auto-enables only under a 2.5 GB cap.
+        pre_cfg = getattr(args, "prebatch_augment", "auto")
+        if isinstance(pre_cfg, str) and pre_cfg.lower() in (
+                "true", "false", "1", "0", "yes", "no"):
+            pre_cfg = pre_cfg.lower() in ("true", "1", "yes")
+        tile_bytes = K * args.batch * 4 * args.imgsz * args.imgsz * 3
+        prebatch = bool(
+            pool_mode
+            and (pre_cfg if isinstance(pre_cfg, bool)
+                 else tile_bytes <= int(2.5 * 1024**3))
+        )
+
         def build_multi(augment_fn):
             return make_multi_train_step(
                 self.model, tx, args, cand=getattr(args, "cand_per_gt", 128),
                 mesh=mesh, donate=bool(getattr(args, "donate", True)),
                 augment_fn=augment_fn, aug_seed=args.seed,
-                from_pool=pool_mode,
+                from_pool=pool_mode, prebatch_augment=prebatch,
             )
 
         step_fn = None if multistep else build_step(aug_fn)
         multi_fn = build_multi(aug_fn) if multistep else None
         super_iter = iter(loader.superbatches(K)) if multistep and pool_mode else None
         self.used_multistep = bool(multistep)
+        self.used_prebatch_augment = bool(multistep and pool_mode and prebatch)
         pool = None
         if multistep:
             LOGGER.info(
                 f"multi-step dispatch: {K} optimizer steps per device call "
-                f"({'HBM pool gather' if pool_mode else 'stacked uint8 batches'})"
+                f"({'HBM pool gather' if pool_mode else 'stacked uint8 batches'}"
+                f"{', prebatch augment' if prebatch else ''})"
             )
             if pool_mode:
                 pool = loader.images
