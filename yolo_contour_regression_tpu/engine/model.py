@@ -321,8 +321,11 @@ class YOLO:
 
         ``selective=True`` quantizes only the layers where the on-chip
         micro-bench says the int8 composition beats bf16 (deep/narrow
-        layers; nn/quant.py int8_wins) — the fastest mixed-precision deploy
-        on v5e, and strictly less quantization error than full int8."""
+        layers; nn/quant.py int8_wins). Measured on the v5e scale ladder it
+        is throughput-NEUTRAL vs full int8 (runs/bench_int8auto_scales_
+        clean.json vs bench_int8_scales.json: equal at s/m/l, ~3% slower at
+        n) — keep the full-int8 default for speed; selective's value is
+        strictly less quantization error at the same throughput."""
         from ..nn.quant import quantize_variables
 
         self._ensure_variables()

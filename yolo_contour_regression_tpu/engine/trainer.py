@@ -303,19 +303,18 @@ class BaseTrainer:
                     break
 
         # prebatch augmentation: one vectorized K*B augment per dispatch
-        # instead of K in-scan augments (better utilization of the augment's
-        # small ops). Transient HBM ~= the (K*B, 4, S, S, 3) uint8 tile
-        # stack; auto-enables only under a 2.5 GB cap.
+        # instead of K in-scan augments. Measured NEUTRAL-to-slightly-slower
+        # on chip (runs/e2e_train_r5f.json: 357 vs 370 img/s at b16, 496 vs
+        # 504 at b64 — the in-scan augment is only ~4 ms/step, so there was
+        # no small-op overhead to amortize), so 'auto' resolves to OFF; the
+        # path stays for pool-wide mosaic/mixup partner diversity
+        # (prebatch_augment=true). Transient HBM ~= the (K*B, 4, S, S, 3)
+        # uint8 tile stack.
         pre_cfg = getattr(args, "prebatch_augment", "auto")
         if isinstance(pre_cfg, str) and pre_cfg.lower() in (
                 "true", "false", "1", "0", "yes", "no"):
             pre_cfg = pre_cfg.lower() in ("true", "1", "yes")
-        tile_bytes = K * args.batch * 4 * args.imgsz * args.imgsz * 3
-        prebatch = bool(
-            pool_mode
-            and (pre_cfg if isinstance(pre_cfg, bool)
-                 else tile_bytes <= int(2.5 * 1024**3))
-        )
+        prebatch = bool(pool_mode and pre_cfg is True)
 
         def build_multi(augment_fn):
             return make_multi_train_step(
