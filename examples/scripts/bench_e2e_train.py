@@ -18,16 +18,22 @@ import numpy as np
 
 
 def main(imgsz=640, batch=16, steps=40, n_imgs=128):
-    rows = [run_one(imgsz, batch, steps, n_imgs, cache, spd)
-            for cache, spd in (("device", 8), ("device", 1), ("ram", 1))]
+    # dev_labels=True is the production trainer path (labels HBM-resident
+    # like the image pool, per-dispatch host traffic = indices only);
+    # dev_labels=False ships stacked (K, B, ...) f32 label arrays per
+    # dispatch — the A/B isolates the tunnel's label-H2D cost
+    rows = [run_one(imgsz, batch, steps, n_imgs, "device", 8, dev_labels=True),
+            run_one(imgsz, batch, steps, n_imgs, "device", 8),
+            run_one(imgsz, batch, steps, n_imgs, "device", 1),
+            run_one(imgsz, batch, steps, n_imgs, "ram", 1)]
     # prebatch_augment A/B: one vectorized K*B augment before the scan
     # instead of K in-scan augments (engine/step.py make_multi_train_step)
     rows.append(run_one(imgsz, batch, steps, n_imgs, "device", 8, prebatch=True))
     # realistic large-batch training point: the fused step amortizes decode/
     # assigner fixed costs over 4x the images (bench_train.py measures the
     # pure step only at 16)
+    rows.append(run_one(imgsz, 64, steps, n_imgs, "device", 8, dev_labels=True))
     rows.append(run_one(imgsz, 64, steps, n_imgs, "device", 8))
-    rows.append(run_one(imgsz, 64, steps, n_imgs, "device", 8, prebatch=True))
     rec = {"rows": rows,
            "note": "cache='device' + steps_per_dispatch=8: lax.scan of 8 "
                    "optimizer steps per device call over the HBM image pool "
@@ -42,7 +48,7 @@ def main(imgsz=640, batch=16, steps=40, n_imgs=128):
 
 
 def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1,
-            prebatch=False):
+            prebatch=False, dev_labels=False):
     from tests.helpers import make_shape_dataset
     from yolo_contour_regression_tpu.cfg import get_cfg
     from yolo_contour_regression_tpu.data.build import build_dataloader, build_yolo_dataset
@@ -80,8 +86,9 @@ def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1,
         # multi-step-per-dispatch (trainer 'steps_per_dispatch' path)
         multi_fn = make_multi_train_step(model, tx, cfg, cand=128,
                                          augment_fn=aug_fn, donate=True,
-                                         prebatch_augment=prebatch)
-        sup = loader.superbatches(spd)
+                                         prebatch_augment=prebatch,
+                                         labels_from_pool=dev_labels)
+        sup = loader.superbatches(spd, idx_only=dev_labels)
 
         def run(n):
             nonlocal state
@@ -89,6 +96,8 @@ def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1,
             done = 0
             while done < n:
                 idxs, labels = next(sup)
+                if dev_labels:
+                    labels = loader.label_pool()
                 state, metrics = multi_fn(state, loader.images, idxs, labels)
                 done += idxs.shape[0]
             return {k: v[-1] for k, v in metrics.items()}, done
@@ -119,6 +128,7 @@ def run_one(imgsz=640, batch=16, steps=40, n_imgs=128, cache="ram", spd=1,
         "cache": cache,
         "steps_per_dispatch": spd,
         "prebatch_augment": prebatch,
+        "device_labels": dev_labels,
         "imgs_per_sec": round(imgs_per_sec, 1),
         "ms_per_step": round(dt / n_done * 1e3, 1),
         "batch": batch, "imgsz": imgsz, "steps": n_done,

@@ -314,3 +314,76 @@ def test_multistep_prebatch_augment():
         st, m_ = fn(init_train_state(variables, tx0), pool, idxs, labels)
         outs.append((st, np.asarray(m_["loss"])))
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_multistep_labels_from_pool_matches_host_labels():
+    """labels_from_pool: gathering the per-step (B, ...) label slice from
+    the HBM-resident (P, ...) pool must match shipping the stacked
+    (K, B, ...) host arrays — same inputs reach the step, so the loss
+    trajectory and final params agree."""
+    from yolo_contour_regression_tpu.data.device_augment import make_augment_fn
+    from yolo_contour_regression_tpu.engine.step import (
+        init_train_state,
+        make_multi_train_step,
+    )
+    from yolo_contour_regression_tpu.nn.tasks import build_model
+    from yolo_contour_regression_tpu.utils.optim import build_optimizer
+
+    imgsz, nc, n_max, B, K, P = 64, 3, 4, 2, 3, 8
+    model = build_model("yolov8-seg.yaml", nc=nc)
+    variables = model.init(imgsz=imgsz)
+    hyp = SimpleNamespace(
+        lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=0.0005,
+        warmup_epochs=0.0, warmup_momentum=0.8, warmup_bias_lr=0.1,
+        box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0,
+        epochs=1, optimizer="SGD", cos_lr=False, batch=B, nbs=B, nc=nc,
+        mosaic=1.0, mixup=0.0, degrees=0.0, translate=0.1, scale=0.3,
+        shear=0.0, perspective=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+        fliplr=0.5, flipud=0.0,
+    )
+    rng = np.random.default_rng(11)
+    pool = jnp.asarray(rng.integers(0, 255, (P, imgsz, imgsz, 3), np.uint8))
+    t = np.linspace(0, 2 * math.pi, 360, endpoint=False)
+    # per-sample DISTINCT labels so a wrong gather can't silently pass
+    segs = np.stack([
+        np.stack([0.5 + (0.1 + 0.02 * p) * np.cos(t),
+                  0.5 + (0.1 + 0.02 * p) * np.sin(t)], -1)
+        for p in range(P)
+    ]).astype(np.float32)  # (P, 360, 2)
+    lab_pool = {
+        "cls": np.tile(np.arange(P, dtype=np.int32)[:, None] % nc, (1, n_max)),
+        "bboxes": np.tile(np.array([0.5, 0.5, 0.3, 0.3], np.float32),
+                          (P, n_max, 1)),
+        "segments": np.tile(segs[:, None], (1, n_max, 1, 1)),
+        "mask_gt": np.tile(np.array([True] + [False] * (n_max - 1)), (P, 1)),
+        "content_hw": np.full((P, 2), imgsz, np.float32),
+        "pad_tl": np.zeros((P, 2), np.float32),
+    }
+    idxs = rng.integers(0, P, (K, B)).astype(np.int32)
+    host_labels = {k: v[idxs] for k, v in lab_pool.items()}  # (K, B, ...)
+
+    aug = make_augment_fn(hyp, imgsz, max_instances=8, mesh=None)
+    tx = build_optimizer(variables["params"], hyp, steps_per_epoch=K, iterations=K)
+
+    fn_pool = make_multi_train_step(model, tx, hyp, cand=32, donate=False,
+                                    augment_fn=aug, aug_seed=0,
+                                    labels_from_pool=True)
+    st_a, m_a = fn_pool(init_train_state(variables, tx), pool,
+                        jnp.asarray(idxs),
+                        {k: jnp.asarray(v) for k, v in lab_pool.items()})
+
+    fn_host = make_multi_train_step(model, tx, hyp, cand=32, donate=False,
+                                    augment_fn=aug, aug_seed=0)
+    st_b, m_b = fn_host(init_train_state(variables, tx), pool,
+                        jnp.asarray(idxs),
+                        {k: jnp.asarray(v) for k, v in host_labels.items()})
+
+    np.testing.assert_allclose(np.asarray(m_a["loss"]), np.asarray(m_b["loss"]),
+                               rtol=1e-3)
+    assert int(st_a.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray, st_a.params)),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray, st_b.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)

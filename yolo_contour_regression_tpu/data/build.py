@@ -216,25 +216,11 @@ class DevicePoolLoader:
                 b["img"] = self._take(self.images, jnp.asarray(sel, jnp.int32))
                 yield b
 
-    def superbatches(self, k: int):
-        """Yield ``(idxs (kk, B) int32, labels {key: (kk, B, ...)})`` groups
-        for the multi-step-per-dispatch train path
-        (engine/step.py make_multi_train_step).
-
-        Each epoch emits ``steps // k`` full groups then one remainder group
-        (so a consumer chunking ``len(self)`` steps by ``k`` sees matching
-        shapes — at most two compiled variants of the K-step scanned train
-        program). Labels are collated without per-batch instance bucketing,
-        then trimmed to ONE dataset-wide bucket (smallest of 8/16/32/max
-        covering the busiest image) — per-group caps would multiply the
-        compile count by up to 4, and each variant is a full K-step XLA
-        graph; a global cap keeps the assigner's shape-driven cost tight
-        without that."""
+    def _instance_cap(self):
+        """(n_pad, cap): per-sample instance padding and the dataset-wide
+        bucket (smallest of 8/16/32/max covering the busiest image)."""
         from .augment import INSTANCE_BUCKETS
 
-        B = self.batch_size
-        P_ = len(self.labels)
-        steps = P_ // B
         n_pad = int(self.labels[0]["mask_gt"].shape[0]) if (self.labels and "mask_gt" in self.labels[0]) else 0
         cap = n_pad
         if n_pad:
@@ -245,6 +231,55 @@ class DevicePoolLoader:
                 if n_act <= b < n_pad:
                     cap = b
                     break
+        return n_pad, cap
+
+    def _stack_labels(self, sel):
+        """Collate + dataset-bucket-trim labels for sample indices ``sel``."""
+        n_pad, cap = self._instance_cap()
+        lab = collate([self.labels[j] for j in sel], bucket_instances=False)
+        if cap and cap < n_pad:
+            for key in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
+                if key in lab and lab[key].ndim >= 2 and lab[key].shape[1] == n_pad:
+                    lab[key] = lab[key][:, :cap]
+        return lab
+
+    def label_pool(self):
+        """Device-resident label arrays ``{key: (P, ...)}``.
+
+        Like ``self.images``, the per-sample labels are deterministic, so
+        they stage into HBM ONCE and per-step batches gather on device —
+        on a tunneled-TPU host the per-dispatch H2D of stacked 360-point
+        f32 contours (~46 KB/img) otherwise rivals the train step itself
+        (runs/train_bench_bucket16.json vs e2e_train_r5f.json: ~14 ms/step
+        gap at batch 16 with only ~4 ms of it augmentation). HBM cost is
+        ~1/26th of the image pool, so whenever the images fit, labels fit."""
+        if getattr(self, "_label_pool", None) is None:
+            import jax
+
+            lab = self._stack_labels(list(range(len(self.labels))))
+            self._label_pool = {k: jax.device_put(v) for k, v in lab.items()}
+        return self._label_pool
+
+    def superbatches(self, k: int, idx_only: bool = False):
+        """Yield ``(idxs (kk, B) int32, labels {key: (kk, B, ...)})`` groups
+        for the multi-step-per-dispatch train path
+        (engine/step.py make_multi_train_step).
+
+        Each epoch emits ``steps // k`` full groups then one remainder group
+        (so a consumer chunking ``len(self)`` steps by ``k`` sees matching
+        shapes — at most two compiled variants of the K-step scanned train
+        program). Labels are collated without per-batch instance bucketing,
+        then trimmed to ONE dataset-wide bucket — per-group caps would
+        multiply the compile count by up to 4, and each variant is a full
+        K-step XLA graph; a global cap keeps the assigner's shape-driven
+        cost tight without that.
+
+        ``idx_only=True`` yields ``(idxs, None)`` — for consumers gathering
+        labels on device from ``label_pool()`` instead of shipping them
+        per dispatch."""
+        B = self.batch_size
+        P_ = len(self.labels)
+        steps = P_ // B
         while True:
             order = list(range(P_))
             if self.shuffle:
@@ -252,15 +287,11 @@ class DevicePoolLoader:
             sels = [order[i * B : (i + 1) * B] for i in range(steps)]
             groups = [sels[j : j + k] for j in range(0, steps, k)]
             for group in groups:
-                labs = [
-                    collate([self.labels[j] for j in sel], bucket_instances=False)
-                    for sel in group
-                ]
+                if idx_only:
+                    yield np.asarray(group, np.int32), None
+                    continue
+                labs = [self._stack_labels(sel) for sel in group]
                 stacked = {key: np.stack([l[key] for l in labs]) for key in labs[0]}
-                if cap and cap < n_pad:
-                    for key in ("cls", "bboxes", "segments", "mask_gt", "keypoints"):
-                        if key in stacked and stacked[key].ndim >= 3 and stacked[key].shape[2] == n_pad:
-                            stacked[key] = stacked[key][:, :, :cap]
                 yield np.asarray(group, np.int32), stacked
 
 

@@ -211,6 +211,7 @@ def make_multi_train_step(
     aug_seed: int = 0,
     from_pool: bool = True,
     prebatch_augment: bool = False,
+    labels_from_pool: bool = False,
 ):
     """K optimizer steps in ONE device dispatch.
 
@@ -222,6 +223,12 @@ def make_multi_train_step(
     runs augmentation + the fused train step, and carries the updated state —
     the host uploads only indices + labels (KBs) and pays ONE dispatch
     round-trip per K steps.
+
+    With ``labels_from_pool`` additionally set, ``labels`` is instead the
+    HBM-resident ``{key: (P, ...)}`` label pool
+    (DevicePoolLoader.label_pool) and each step's ``(B, ...)`` slice is
+    gathered on device next to the image gather — the host uploads ONLY
+    the ``(K, B)`` int32 indices per dispatch.
 
     With ``from_pool=False`` (datasets too large for the HBM pool):
     ``(state, images, labels) -> (state, metrics)`` where ``images`` is a
@@ -258,6 +265,16 @@ def make_multi_train_step(
             )
         return imgs, lab
 
+    def _lab_gather(labels, idx):
+        # labels_from_pool: labels is the HBM-resident (P, ...) label pool
+        # (data/build.py DevicePoolLoader.label_pool) — gather the step's
+        # (B, ...) slice on device, like the image pool. Kills the
+        # per-dispatch H2D of stacked f32 contours, which on a tunneled
+        # host rivals the step itself (~46 KB/img over a ~32 MB/s link).
+        return jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), labels
+        )
+
     if from_pool and prebatch_augment:
         # Augment ALL K batches in ONE vectorized call before the scan, then
         # scan the pure step over the pre-augmented (K, B, ...) stack. Same
@@ -273,9 +290,12 @@ def make_multi_train_step(
         def multi_fn(state: TrainState, pool, idxs, labels):
             K, B = idxs.shape
             imgs = jnp.take(pool, idxs.reshape(-1), axis=0)
-            flat = jax.tree_util.tree_map(
-                lambda x: x.reshape((K * B,) + x.shape[2:]), labels
-            )
+            if labels_from_pool:
+                flat = _lab_gather(labels, idxs.reshape(-1))
+            else:
+                flat = jax.tree_util.tree_map(
+                    lambda x: x.reshape((K * B,) + x.shape[2:]), labels
+                )
             key = jax.random.fold_in(aug_base, state.step)
             aug_imgs, aug_lab = augment_fn(key, imgs, flat)
             aug_imgs = aug_imgs.reshape((K, B) + aug_imgs.shape[1:])
@@ -289,6 +309,16 @@ def make_multi_train_step(
                 return st, metrics
 
             return jax.lax.scan(scan_body, state, (aug_imgs, aug_lab))
+    elif from_pool and labels_from_pool:
+        def multi_fn(state: TrainState, pool, idxs, labels):
+            def scan_body(st, idx):
+                imgs, lab = _shard(
+                    jnp.take(pool, idx, axis=0), _lab_gather(labels, idx)
+                )
+                st, metrics = body(st, imgs, lab)
+                return st, metrics
+
+            return jax.lax.scan(scan_body, state, idxs)
     elif from_pool:
         def multi_fn(state: TrainState, pool, idxs, labels):
             def scan_body(st, xs):

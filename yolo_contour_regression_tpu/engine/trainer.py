@@ -322,11 +322,15 @@ class BaseTrainer:
                 mesh=mesh, donate=bool(getattr(args, "donate", True)),
                 augment_fn=augment_fn, aug_seed=args.seed,
                 from_pool=pool_mode, prebatch_augment=prebatch,
+                # labels ride in HBM next to the image pool: per-dispatch
+                # host traffic is the (K, B) int32 indices only
+                labels_from_pool=pool_mode,
             )
 
         step_fn = None if multistep else build_step(aug_fn)
         multi_fn = build_multi(aug_fn) if multistep else None
-        super_iter = iter(loader.superbatches(K)) if multistep and pool_mode else None
+        super_iter = (iter(loader.superbatches(K, idx_only=True))
+                      if multistep and pool_mode else None)
         self.used_multistep = bool(multistep)
         self.used_prebatch_augment = bool(multistep and pool_mode and prebatch)
         pool = None
@@ -348,6 +352,10 @@ class BaseTrainer:
 
                     pool = jax.device_put(pool, NamedSharding(mesh, P()))
                     loader.images = pool
+                    loader._label_pool = {
+                        k: jax.device_put(v, NamedSharding(mesh, P()))
+                        for k, v in loader.label_pool().items()
+                    }
 
         validator = self.get_validator() if args.val else None
         stopper = EarlyStopping(args.patience)
@@ -392,7 +400,8 @@ class BaseTrainer:
                 done = 0
                 while done < steps_per_epoch:
                     if pool_mode:
-                        idxs, labels = next(super_iter)
+                        idxs, _ = next(super_iter)
+                        labels = loader.label_pool()
                         kk = idxs.shape[0]
                     else:
                         kk = min(K, steps_per_epoch - done)
@@ -404,11 +413,15 @@ class BaseTrainer:
 
                         if pool_mode:
                             pimg = np.asarray(loader.images[jnp.asarray(idxs[0])])
+                            plot_lab = loader._stack_labels(
+                                [int(j) for j in idxs[0]]
+                            )
                         else:
                             pimg = np.asarray(images_s[0])
+                            plot_lab = {k: v[0] for k, v in labels.items()}
                         pimg = pimg[..., ::-1].astype(np.float32) / 255.0
                         plot_images(
-                            pimg, {k: v[0] for k, v in labels.items()},
+                            pimg, plot_lab,
                             fname=str(self.save_dir / "train_batch0.jpg"),
                             names=data.get("names"),
                         )
