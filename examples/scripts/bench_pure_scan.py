@@ -28,7 +28,7 @@ import numpy as np
 
 
 def measure(B: int, nmax: int = 16, n_real: int = 8, imgsz: int = 640,
-            K: int = 8, steps: int = 40) -> dict:
+            K: int = 8, steps: int = 40, task: str = "segment") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -45,8 +45,9 @@ def measure(B: int, nmax: int = 16, n_real: int = 8, imgsz: int = 640,
         box=7.5, cls=0.5, dfl=1.5, epochs=1, optimizer="SGD", cos_lr=False,
         batch=B, nbs=B, nc=2,
     )
+    yaml_name = "yolov8-seg.yaml" if task == "segment" else "yolov8.yaml"
     model = build_model(
-        str(ROOT / "yolo_contour_regression_tpu/cfg/models/yolov8-seg.yaml"),
+        str(ROOT / "yolo_contour_regression_tpu/cfg/models" / yaml_name),
         nc=2, dtype=jnp.bfloat16,
     )
     variables = model.init(imgsz=imgsz)
@@ -95,6 +96,7 @@ def measure(B: int, nmax: int = 16, n_real: int = 8, imgsz: int = 640,
     float(np.asarray(m["loss"])[-1])  # sync
     dt = time.perf_counter() - t0
     return {
+        "task": task,
         "batch": B, "nmax": nmax, "n_real": n_real, "imgsz": imgsz, "K": K,
         "ms_per_step": round(dt / n_done * 1e3, 1),
         "imgs_per_sec": round(n_done * B / dt, 1),
@@ -110,7 +112,14 @@ def main():
                    "pre-normalized) — the honest e2e-efficiency denominator"}
     out = ROOT / "runs" / "train_bench_scan.json"
     for kw in (dict(B=16, n_real=8), dict(B=16, n_real=16),
-               dict(B=64, n_real=8)):
+               dict(B=64, n_real=8),
+               # detect at the same shapes: the scan-form (unhoistable)
+               # polar-vs-detect training-cost ratio — the fori probe in
+               # bench_train.py hoists both tasks' label-only work, which
+               # flatters polar more (its GT-ray construction is the big
+               # label-side cost)
+               dict(B=16, n_real=8, task="detect"),
+               dict(B=64, n_real=8, task="detect")):
         try:
             rows.append(measure(**kw))
         except Exception as e:

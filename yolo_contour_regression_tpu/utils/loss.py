@@ -136,8 +136,17 @@ def _df_loss(pred_dist, target, reg_max):
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, jnp.clip(tl, 0, reg_max - 1)[..., None], -1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], -1)[..., 0]
+    # bin pick as a one-hot multiply-reduce, NOT take_along_axis: an XLA:TPU
+    # gather along the minor (reg_max) axis runs on the slow scalar gather
+    # path — the two gathers here were the single hottest ops of the whole
+    # detect train step (8.7 + 7.9 ms/step of a 46 ms step at b16/640,
+    # runs/profile_step_detect_b16.json + runs/step_hlo_detect.txt); the
+    # dense form is one fused pass over (..., 4, reg_max)
+    bins = jnp.arange(reg_max, dtype=jnp.int32)
+    oh_l = (jnp.clip(tl, 0, reg_max - 1)[..., None] == bins).astype(logp.dtype)
+    oh_r = (jnp.clip(tr, 0, reg_max - 1)[..., None] == bins).astype(logp.dtype)
+    ce_l = -(logp * oh_l).sum(-1)
+    ce_r = -(logp * oh_r).sum(-1)
     return (ce_l * wl + ce_r * wr).mean(-1)
 
 
