@@ -323,3 +323,41 @@ def test_polar_assign_sparse_equals_dense():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(sp.centerness),
                                np.asarray(de.centerness), atol=1e-6)
+
+
+def test_df_loss_onehot_equals_gather_form():
+    """_df_loss picks DFL bins via one-hot multiply-reduce (the
+    take_along_axis gather along the minor reg_max axis was the hottest op
+    of the detect train step on TPU — docs/PERF_NOTES.md). Pin bit-equality
+    with the reference gather form, values AND gradients, including the
+    reg_max-1 clip edge."""
+    import jax
+
+    from yolo_contour_regression_tpu.utils.loss import _df_loss
+
+    def ref(pred_dist, target, reg_max):
+        tl = jnp.floor(target).astype(jnp.int32)
+        tr = tl + 1
+        wl = tr.astype(target.dtype) - target
+        wr = 1.0 - wl
+        logp = jax.nn.log_softmax(pred_dist, axis=-1)
+        ce_l = -jnp.take_along_axis(
+            logp, jnp.clip(tl, 0, reg_max - 1)[..., None], -1)[..., 0]
+        ce_r = -jnp.take_along_axis(
+            logp, jnp.clip(tr, 0, reg_max - 1)[..., None], -1)[..., 0]
+        return (ce_l * wl + ce_r * wr).mean(-1)
+
+    r = np.random.default_rng(0)
+    pd = jnp.asarray(r.normal(size=(3, 57, 4, 16)).astype(np.float32))
+    tg = jnp.asarray(r.uniform(0, 15, size=(3, 57, 4)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(_df_loss(pd, tg, 16)),
+                                  np.asarray(ref(pd, tg, 16)))
+    ga = jax.grad(lambda p: _df_loss(p, tg, 16).sum())(pd)
+    gb = jax.grad(lambda p: ref(p, tg, 16).sum())(pd)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    # edge: target exactly reg_max-1 (tr clips onto tl's bin)
+    tg2 = jnp.full((2, 5, 4), 15.0)
+    np.testing.assert_array_equal(
+        np.asarray(_df_loss(pd[:2, :5], tg2, 16)),
+        np.asarray(ref(pd[:2, :5], tg2, 16)),
+    )

@@ -387,3 +387,42 @@ def test_multistep_labels_from_pool_matches_host_labels():
                     jax.tree_util.tree_leaves(
                         jax.tree_util.tree_map(np.asarray, st_b.params))):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_label_pool_and_idx_only_superbatches(ds_yaml):
+    """DevicePoolLoader.label_pool stages the whole label set once with the
+    dataset-wide instance bucket; superbatches(idx_only=True) yields bare
+    index groups whose on-device gather reproduces the host-stacked labels
+    exactly."""
+    from yolo_contour_regression_tpu.cfg import get_cfg
+    from yolo_contour_regression_tpu.data.build import (
+        DevicePoolLoader,
+        build_dataloader,
+        build_yolo_dataset,
+    )
+    from yolo_contour_regression_tpu.data.utils import check_det_dataset
+
+    data = check_det_dataset(str(ds_yaml))
+    cfg = get_cfg(dict(task="segment", imgsz=64, batch=2, cache="device",
+                       device_augment=True, max_instances=8))
+    ds = build_yolo_dataset(cfg, data["train"], 2, data, mode="train")
+    loader = build_dataloader(ds, 2, workers=1, shuffle=True, mode="train")
+    assert isinstance(loader, DevicePoolLoader)
+
+    pool = loader.label_pool()
+    P_ = len(loader.labels)
+    _, cap = loader._instance_cap()
+    for key in ("cls", "bboxes", "segments", "mask_gt"):
+        assert pool[key].shape[0] == P_, key
+        assert pool[key].shape[1] == cap, key
+    assert pool["segments"].shape[2:] == (360, 2)
+    assert loader.label_pool() is pool  # cached, staged once
+
+    # idx_only groups + device gather == the host-stacked labels
+    it_idx = loader.superbatches(3, idx_only=True)
+    idxs, none = next(it_idx)
+    assert none is None and idxs.dtype == np.int32
+    host = loader._stack_labels([int(j) for j in idxs[0]])
+    for key in ("cls", "bboxes", "segments", "mask_gt"):
+        np.testing.assert_array_equal(
+            np.asarray(pool[key])[idxs[0]], host[key], err_msg=key)
