@@ -251,3 +251,11 @@ def test_separable_warp_matches_gather_warp():
         # model forward, so bf16 by default) stays within ~1 uint8 LSB
         fb = np.asarray(da._warp_image_separable(tiles, M, yc, xc, offs, um, S))
         assert np.abs(fb.astype(np.float32) - g).max() <= 1.5, trial
+        # the 2-tap gather variant (AUG_WARP=taps) computes the same
+        # resample without the dense weight matrix — f32 matches the gather
+        # warp, bf16 within the same LSB bound
+        ft = np.asarray(da._warp_image_separable_taps(
+            tiles, M, yc, xc, offs, um, S, dtype=jnp.float32))
+        np.testing.assert_allclose(ft, g, atol=5e-3), trial
+        ftb = np.asarray(da._warp_image_separable_taps(tiles, M, yc, xc, offs, um, S))
+        assert np.abs(ftb.astype(np.float32) - g).max() <= 1.5, trial

@@ -45,6 +45,13 @@ import jax.numpy as jnp
 
 PAD_VALUE = 114.0  # letterbox / warp border gray (reference augment.py:586)
 
+# axis-aligned warp implementation: "matmul" (scale_and_translate dense
+# resample) or "taps" (2-tap axis gathers — same math, no dense weight
+# matrix). Env-switchable for on-chip A/B (AUG_WARP=taps).
+import os as _os
+
+_SEPARABLE_IMPL = _os.environ.get("AUG_WARP", "matmul")
+
 
 # ---------------------------------------------------------------------------
 # color
@@ -196,6 +203,80 @@ def _warp_image_separable(tiles, M, yc, xc, offsets, use_mosaic, S,
     return jnp.where(ok, out, PAD_VALUE)
 
 
+def _warp_image_separable_taps(tiles, M, yc, xc, offsets, use_mosaic, S,
+                               dtype=jnp.bfloat16):
+    """``_warp_image_separable`` with the dense resample matmuls replaced by
+    per-axis 2-tap gathers.
+
+    A linear antialias=False resample has exactly two nonzero weights per
+    output row/column, so the (S_out, S_in) scale_and_translate weight
+    matrix is 99.7% zeros at S=640 — the matmul form burns ~17 GFLOP/img of
+    MXU time moving zeros. Here each axis is two whole-row (or whole-column)
+    gathers + a blend: indices depend only on the output coordinate, so the
+    gathers are contiguous slices along the other axis (the fast TPU gather
+    shape, unlike per-pixel 2-D gathers). Border semantics are identical:
+    same 1px PAD ring, per-axis coverage from the in-range tap weights,
+    PAD fold, quadrant select, canvas clip. Numerics match the matmul form
+    to summation order (pinned by test_device_augment)."""
+    a = M[0, 0]
+    bx, by = M[0, 2], M[1, 2]
+    L = jnp.where(use_mosaic, 2.0 * S, 1.0 * S)
+    o = jnp.arange(S, dtype=jnp.float32)
+    cx = (o - bx) / a
+    cy = (o - by) / a
+    in_x = (cx >= 0) & (cx < L)
+    in_y = (cy >= 0) & (cy < L)
+    qx = (cx >= xc) & use_mosaic
+    qy = (cy >= yc) & use_mosaic
+    q = qy[:, None].astype(jnp.int32) * 2 + qx[None, :].astype(jnp.int32)
+
+    # gathers read the compact dtype; BLENDS run in f32 so the result sees
+    # exactly one rounding to ``dtype`` (like the matmul form, whose MXU
+    # accumulation is f32) — blending in bf16 compounds to ~2.5 uint8 LSB
+    tiles_p = jnp.pad(
+        tiles.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)),
+        constant_values=PAD_VALUE,
+    )  # (4, S+2, S+2, 3)
+    half = 0.5 * (1.0 - a)
+    trs = jnp.stack([by + a * (offsets[:, 0] - 1.0) + half,
+                     bx + a * (offsets[:, 1] - 1.0) + half], -1)  # (4, 2)
+
+    def taps(t1):
+        # scale_and_translate sampling convention: i = (o + 0.5)/a - 0.5 - t/a
+        i = (o + 0.5) / a - 0.5 - t1 / a
+        i0 = jnp.floor(i)
+        f = i - i0
+        ok0 = (i0 >= 0) & (i0 <= S + 1)
+        ok1 = (i0 + 1 >= 0) & (i0 + 1 <= S + 1)
+        idx0 = jnp.clip(i0, 0, S + 1).astype(jnp.int32)
+        idx1 = jnp.clip(i0 + 1, 0, S + 1).astype(jnp.int32)
+        w0 = (1.0 - f) * ok0.astype(jnp.float32)
+        w1 = f * ok1.astype(jnp.float32)
+        return idx0, idx1, w0, w1
+
+    def resample_tile(tile_p, tr):
+        # axis 0 (rows): gather whole rows, blend in f32
+        iy0, iy1, wy0, wy1 = taps(tr[0])
+        r = (jnp.take(tile_p, iy0, axis=0).astype(jnp.float32)
+             * wy0[:, None, None]
+             + jnp.take(tile_p, iy1, axis=0).astype(jnp.float32)
+             * wy1[:, None, None])
+        # axis 1 (columns) on the (S, S+2, 3) f32 intermediate
+        ix0, ix1, wx0, wx1 = taps(tr[1])
+        out = (jnp.take(r, ix0, axis=1) * wx0[None, :, None]
+               + jnp.take(r, ix1, axis=1) * wx1[None, :, None])
+        cov = (wy0 + wy1)[:, None] * (wx0 + wx1)[None, :]  # (S, S)
+        return out, cov
+
+    st, cov = jax.vmap(resample_tile)(tiles_p, trs)  # (4, S, S, 3), (4, S, S)
+    stacked = st + PAD_VALUE * (1.0 - cov)[..., None]
+    out = jnp.where((q == 0)[..., None], stacked[0],
+          jnp.where((q == 1)[..., None], stacked[1],
+          jnp.where((q == 2)[..., None], stacked[2], stacked[3])))
+    ok = (in_y[:, None] & in_x[None, :])[..., None]
+    return jnp.where(ok, out, PAD_VALUE).astype(dtype)
+
+
 def _warp_image(tiles, Minv, yc, xc, offsets, use_mosaic, S):
     """Fused mosaic+affine gather. tiles (4, S, S, 3) uint8 -> (S, S, 3) f32.
 
@@ -291,7 +372,9 @@ def _augment_one(key, tiles, t_cls, t_boxes, t_segs, t_mask, t_kpts,
         for k in ("degrees", "shear", "perspective")
     )
     if separable:
-        img = _warp_image_separable(tiles, M, yc, xc, offs, use_mosaic, S)
+        warp = (_warp_image_separable_taps if _SEPARABLE_IMPL == "taps"
+                else _warp_image_separable)
+        img = warp(tiles, M, yc, xc, offs, use_mosaic, S)
     else:
         img = _warp_image(tiles, jnp.linalg.inv(M), yc, xc, offs, use_mosaic, S)
 
